@@ -1,0 +1,187 @@
+"""Batched exact GP conditioning with masked (NaN) observations.
+
+Functional replacement for the reference's per-SQP-iteration GPyTorch model
+rebuild (ref: src/agent.py:216-272) and posterior sampling
+(ref: src/agent.py:629-730).  Missing observations are handled by the mask
+trick instead of GPyTorch's ``observation_nan_policy("mask")``:
+
+    K~ = m m^T ⊙ (K + Σ_noise) + diag(1 - m),    y~ = m ⊙ y
+
+which leaves masked rows with zero posterior influence while keeping every
+shape static (what XLA wants — no dynamic data removal).
+
+All public entry points operate on a single (sample, output) pair and are
+vmapped over the ``(ns, g_ny)`` batch by callers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sampling_gpmpc_tpu.gp.kernel import kernel_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class GPHyperArrays:
+    """Per-output hyperparameters as arrays (pytree; map over g_ny)."""
+
+    lengthscale: jnp.ndarray   # (g_ny, D)
+    outputscale: jnp.ndarray   # (g_ny,)
+    noise_diag: jnp.ndarray    # (Ty,) per-task observation noise (incl. global)
+    jitter: float
+    beta: float
+    variance_is_zero: float
+    min_data_dist: float
+
+    @classmethod
+    def from_spec(cls, gp, dtype):
+        import numpy as np
+        tn = np.asarray(gp.task_noises, dtype=np.float64) + gp.noise
+        return cls(
+            lengthscale=jnp.asarray(gp.lengthscale, dtype),
+            outputscale=jnp.asarray(gp.outputscale, dtype),
+            noise_diag=jnp.asarray(tn, dtype),
+            jitter=gp.jitter,
+            beta=gp.beta,
+            variance_is_zero=gp.variance_is_zero,
+            min_data_dist=gp.min_data_dist,
+        )
+
+
+jax.tree_util.register_pytree_node(
+    GPHyperArrays,
+    lambda h: ((h.lengthscale, h.outputscale, h.noise_diag),
+               (h.jitter, h.beta, h.variance_is_zero, h.min_data_dist)),
+    lambda aux, ch: GPHyperArrays(*ch, *aux),
+)
+
+
+def safe_cholesky(A: jnp.ndarray, jitter: float) -> jnp.ndarray:
+    """Cholesky with escalating jitter (mirrors psd_safe_cholesky).
+
+    Tries the configured jitter first, then escalates by 10x up to 1e-4
+    relative to the mean diagonal, selecting the first factorization that
+    contains no NaN.  All attempts run under ``lax.cond`` so only the
+    needed ones execute.
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    mean_diag = jnp.mean(jnp.diagonal(A))
+
+    def attempt(j):
+        return jnp.linalg.cholesky(A + j * eye)
+
+    L = attempt(jnp.asarray(jitter, A.dtype))
+
+    def body(carry):
+        L, j = carry
+        j = jnp.maximum(j * 10.0, 1e-10 * mean_diag)
+        return attempt(j), j
+
+    def cond(carry):
+        L, j = carry
+        return jnp.any(jnp.isnan(L)) & (j < 1e-3 * mean_diag)
+
+    L, _ = jax.lax.while_loop(cond, body, (L, jnp.asarray(jitter, A.dtype)))
+    return L
+
+
+def condition(Z, Y, hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool):
+    """Factorize the (masked) train covariance for one (sample, output).
+
+    Args:
+        Z: (M, D) train inputs.
+        Y: (M, Ty) observations; NaN marks missing entries.
+        noise_diag: (Ty,) per-task noise.
+    Returns:
+        dict with L (R, R), alpha (R,), mask (R,) where R = M * Ty.
+    """
+    M, Ty = Y.shape
+    y = Y.reshape(-1)
+    m = (~jnp.isnan(y)).astype(Z.dtype)
+    y = jnp.nan_to_num(y)
+
+    K = kernel_matrix(Z, Z, hyp_ls, hyp_os, with_grad and Ty > 1)
+    K = K + jnp.diag(jnp.tile(noise_diag, M))
+    Km = m[:, None] * K * m[None, :] + jnp.diag(1.0 - m)
+    L = safe_cholesky(Km, jitter)
+    alpha = jax.scipy.linalg.cho_solve((L, True), m * y)
+    return {"L": L, "alpha": alpha, "mask": m}
+
+
+def predict(Xt, Z, fact, hyp_ls, hyp_os, jitter, with_grad: bool):
+    """Joint posterior over H test points x (1+D) tasks.
+
+    The test tasks match the train tasks: value+gradients for the derivative
+    GP, value-only otherwise (the reference's ``use_model_without_derivatives``
+    flips both sides together, src/agent.py:216-248).
+
+    Returns:
+        mean: (Ht,), cov: (Ht, Ht) with Ht = H*(1+D) (or H when value-only),
+        point-major interleaved — matching GPyTorch's MultitaskMVN layout.
+    """
+    Kx = kernel_matrix(Xt, Z, hyp_ls, hyp_os, with_grad)
+    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+
+    Kxm = Kx * fact["mask"][None, :]
+    mean = Kx @ fact["alpha"]          # masked alpha entries are exactly zero
+    V = jax.scipy.linalg.solve_triangular(fact["L"], Kxm.T, lower=True)
+    cov = Ktt - V.T @ V
+    cov = 0.5 * (cov + cov.T)
+    return mean, cov
+
+
+def posterior_sample(mean, cov, eps, jitter):
+    """Pathwise joint sample: mean + chol(cov) @ eps (ref: agent.py:641)."""
+    L = safe_cholesky(cov, jitter)
+    return mean + L @ eps
+
+
+def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
+                          Ty_test: int):
+    """Full sampling pipeline of the reference's ``sample_gp``
+    (ref: src/agent.py:629-730) for one (sample, output) pair.
+
+    Order of operations (must match for parity):
+      1. pathwise sample,
+      2. zero-variance points -> posterior mean,
+      3. points closer than min_data_dist to a train point -> copy that
+         train observation,
+      4. clip to mean ± beta * std.
+
+    Args:
+        Xt: (H, D) test points; Z: (M, D) train inputs; Y: (M, Ty) train obs.
+        mean/cov: joint posterior (Ht,), (Ht, Ht).
+        eps: (Ht,) base sample.
+    Returns:
+        (H, Ty_test) sampled values(+gradients).
+    """
+    H = Xt.shape[0]
+    y = posterior_sample(mean, cov, eps, hyp.jitter).reshape(H, Ty_test)
+    mu = mean.reshape(H, Ty_test)
+    var = jnp.clip(jnp.diagonal(cov), 0.0).reshape(H, Ty_test)
+
+    if hyp.variance_is_zero >= 0.0:
+        all_zero = jnp.all(var <= hyp.variance_is_zero, axis=-1, keepdims=True)
+        y = jnp.where(all_zero, mu, y)
+
+    if hyp.min_data_dist >= 0.0:
+        dist = jnp.linalg.norm(Xt[:, None, :] - Z[None, :, :], axis=-1)  # (H, M)
+        row_invalid = jnp.any(jnp.isnan(Y), axis=-1)                     # (M,)
+        dist = jnp.where(row_invalid[None, :], jnp.inf, dist)
+        close = jnp.any(dist <= hyp.min_data_dist, axis=1, keepdims=True)
+        nearest = jnp.argmin(dist, axis=1)                               # (H,)
+        y = jnp.where(close, Y[nearest], y)
+
+    std = jnp.sqrt(var)
+    y = jnp.clip(y, mu - hyp.beta * std, mu + hyp.beta * std)
+    return y
+
+
+def batched(fn, in_axes):
+    """vmap over (ns, g_ny) with hyperparameters mapped over g_ny only."""
+    return jax.vmap(jax.vmap(fn, in_axes=in_axes[1]), in_axes=in_axes[0])

@@ -1,0 +1,158 @@
+"""GP core tests: kernel blocks vs autodiff, masked conditioning vs an
+independently-built dense numpy oracle, sampling invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sampling_gpmpc_tpu.gp.exact import (
+    GPHyperArrays, condition, posterior_sample, predict, sample_with_overrides,
+    safe_cholesky)
+from sampling_gpmpc_tpu.gp.kernel import rbf, rbf_grad
+
+LS = np.array([0.9, 1.3])
+OS = 0.7
+
+
+def _scalar_k(x, z):
+    d = (x - z) / jnp.asarray(LS)
+    return OS * jnp.exp(-0.5 * jnp.sum(d * d))
+
+
+def test_rbf_grad_blocks_match_autodiff():
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (3, 2), dtype=jnp.float64)
+    Z = jax.random.normal(jax.random.PRNGKey(1), (4, 2), dtype=jnp.float64)
+    K = rbf_grad(X, Z, LS, OS)
+    assert K.shape == (9, 12)
+
+    dk_dz = jax.grad(_scalar_k, argnums=1)
+    dk_dx = jax.grad(_scalar_k, argnums=0)
+    d2k = jax.jacfwd(dk_dz, argnums=0)
+    for i in range(3):
+        for j in range(4):
+            blk = K[i * 3:(i + 1) * 3, j * 3:(j + 1) * 3]
+            np.testing.assert_allclose(blk[0, 0], _scalar_k(X[i], Z[j]), rtol=1e-12)
+            np.testing.assert_allclose(blk[0, 1:], dk_dz(X[i], Z[j]), rtol=1e-12)
+            np.testing.assert_allclose(blk[1:, 0], dk_dx(X[i], Z[j]), rtol=1e-12)
+            np.testing.assert_allclose(blk[1:, 1:], d2k(X[i], Z[j]),
+                                       rtol=1e-9, atol=1e-12)
+
+
+def test_rbf_grad_symmetry_and_psd():
+    X = jax.random.normal(jax.random.PRNGKey(2), (6, 2), dtype=jnp.float64)
+    K = rbf_grad(X, X, LS, OS)
+    np.testing.assert_allclose(K, K.T, atol=1e-12)
+    w = np.linalg.eigvalsh(np.asarray(K))
+    assert w.min() > -1e-10
+
+
+def _numpy_posterior(Z, Y, Xt, noise_diag, ls, os_):
+    """Dense oracle: physically remove NaN rows, condition, predict."""
+    M, Ty = Y.shape
+    Krr = np.asarray(rbf_grad(jnp.asarray(Z), jnp.asarray(Z), ls, os_))
+    Krr = Krr + np.diag(np.tile(noise_diag, M))
+    y = Y.reshape(-1)
+    keep = ~np.isnan(y)
+    Krr = Krr[np.ix_(keep, keep)]
+    Kx = np.asarray(rbf_grad(jnp.asarray(Xt), jnp.asarray(Z), ls, os_))[:, keep]
+    Ktt = np.asarray(rbf_grad(jnp.asarray(Xt), jnp.asarray(Xt), ls, os_))
+    sol = np.linalg.solve(Krr, y[keep])
+    mean = Kx @ sol
+    cov = Ktt - Kx @ np.linalg.solve(Krr, Kx.T)
+    return mean, cov
+
+
+def test_masked_conditioning_matches_removal_oracle():
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(7, 2))
+    Xt = rng.normal(size=(4, 2))
+    Y = rng.normal(size=(7, 3))
+    # NaN out gradients of some points and everything of one point
+    Y[::2, 1:] = np.nan
+    Y[3, :] = np.nan
+    noise = np.array([1e-6, 2e-6, 3e-6])
+
+    fact = condition(jnp.asarray(Z), jnp.asarray(Y), LS, OS,
+                     jnp.asarray(noise), 0.0, True)
+    mean, cov = predict(jnp.asarray(Xt), jnp.asarray(Z), fact, LS, OS, 0.0, True)
+    mean_o, cov_o = _numpy_posterior(Z, Y, Xt, noise, LS, OS)
+    np.testing.assert_allclose(np.asarray(mean), mean_o, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov), cov_o, rtol=1e-6, atol=1e-9)
+
+
+def test_posterior_interpolates_analytic_function():
+    """Conditioning on value+gradient of a smooth function reproduces the
+    function and its gradient at held-out points (tight-noise GP fit)."""
+    f = lambda z: jnp.sin(z[0]) * jnp.cos(0.5 * z[1])
+    gf = jax.grad(f)
+    rng = np.random.default_rng(1)
+    Z = rng.uniform(-1, 1, size=(25, 2))
+    Y = np.stack([np.concatenate([[f(z)], gf(jnp.asarray(z))]) for z in
+                  jnp.asarray(Z)])
+    Xt = rng.uniform(-0.8, 0.8, size=(5, 2))
+    noise = np.full(3, 1e-10)
+    ls, os_ = np.array([1.4, 1.4]), 1.0
+
+    fact = condition(jnp.asarray(Z), jnp.asarray(Y), ls, os_,
+                     jnp.asarray(noise), 1e-12, True)
+    mean, _ = predict(jnp.asarray(Xt), jnp.asarray(Z), fact, ls, os_, 0.0, True)
+    mean = np.asarray(mean).reshape(5, 3)
+    truth = np.stack([np.concatenate([[f(z)], gf(jnp.asarray(z))])
+                      for z in jnp.asarray(Xt)])
+    np.testing.assert_allclose(mean, truth, atol=2e-4)
+
+
+def test_sampling_mean_and_clipping():
+    rng = np.random.default_rng(2)
+    Z = rng.normal(size=(6, 2))
+    Y = rng.normal(size=(6, 3))
+    Xt = rng.normal(size=(3, 2))
+    noise = np.full(3, 1e-6)
+    hyp = GPHyperArrays(
+        lengthscale=jnp.asarray(LS), outputscale=jnp.asarray(OS),
+        noise_diag=jnp.asarray(noise), jitter=1e-10, beta=2.0,
+        variance_is_zero=-1.0, min_data_dist=-1.0)
+
+    fact = condition(jnp.asarray(Z), jnp.asarray(Y), LS, OS,
+                     jnp.asarray(noise), 1e-10, True)
+    mean, cov = predict(jnp.asarray(Xt), jnp.asarray(Z), fact, LS, OS, 0.0, True)
+
+    # eps = 0 -> exactly the mean
+    y0 = sample_with_overrides(jnp.asarray(Xt), jnp.asarray(Z), jnp.asarray(Y),
+                               fact, mean, cov, jnp.zeros(9), hyp, 3)
+    np.testing.assert_allclose(y0.reshape(-1), np.asarray(mean), atol=1e-12)
+
+    # large eps -> clipped to mean ± beta * std
+    y_big = sample_with_overrides(jnp.asarray(Xt), jnp.asarray(Z), jnp.asarray(Y),
+                                  fact, mean, cov, 100 * jnp.ones(9), hyp, 3)
+    std = np.sqrt(np.clip(np.diagonal(np.asarray(cov)), 0, None)).reshape(3, 3)
+    mu = np.asarray(mean).reshape(3, 3)
+    assert np.all(np.asarray(y_big) <= mu + 2.0 * std + 1e-9)
+    assert np.all(np.asarray(y_big) >= mu - 2.0 * std - 1e-9)
+
+
+def test_min_data_dist_override_copies_train_row():
+    rng = np.random.default_rng(3)
+    Z = rng.normal(size=(5, 2))
+    Y = rng.normal(size=(5, 3))
+    noise = np.full(3, 1e-6)
+    hyp = GPHyperArrays(
+        lengthscale=jnp.asarray(LS), outputscale=jnp.asarray(OS),
+        noise_diag=jnp.asarray(noise), jitter=1e-10, beta=50.0,
+        variance_is_zero=-1.0, min_data_dist=1e-3)
+    Xt = np.vstack([Z[2] + 1e-5, rng.normal(size=(1, 2)) + 10.0])
+
+    fact = condition(jnp.asarray(Z), jnp.asarray(Y), LS, OS,
+                     jnp.asarray(noise), 1e-10, True)
+    mean, cov = predict(jnp.asarray(Xt), jnp.asarray(Z), fact, LS, OS, 0.0, True)
+    y = sample_with_overrides(jnp.asarray(Xt), jnp.asarray(Z), jnp.asarray(Y),
+                              fact, mean, cov, jnp.ones(6), hyp, 3)
+    np.testing.assert_allclose(np.asarray(y)[0], Y[2], atol=1e-12)
+
+
+def test_safe_cholesky_escalates():
+    A = jnp.zeros((3, 3), dtype=jnp.float64)  # singular: needs escalation
+    L = safe_cholesky(A + 1.0, 1e-20)  # rank-1 ones matrix
+    assert not np.any(np.isnan(np.asarray(L)))
