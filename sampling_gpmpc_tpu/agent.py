@@ -1,0 +1,214 @@
+"""Sampling engine: epistemic draws, batched GP state, dynamics jacobians.
+
+Functional counterpart of the reference Agent (ref: src/agent.py:18-730).
+All GP state lives in explicit pytrees with static shapes:
+
+* real training data, tiled over ``(ns, g_ny)``,
+* a "hallucinated" append buffer of capacity ``H * max_sqp_iter`` whose
+  empty slots sit at a far-away input (FAR) with NaN observations, so the
+  masked conditioning of gp/exact.py ignores them — the static-shape
+  equivalent of the reference's growing ``torch.cat`` dataset
+  (ref: src/agent.py:164-202,261-272).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sampling_gpmpc_tpu.config import ProblemSpec
+from sampling_gpmpc_tpu.envs.base import Env
+from sampling_gpmpc_tpu.gp import exact
+from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+
+FAR = 1.0e5   # input coordinate of empty hallucination slots
+
+
+class GPState(NamedTuple):
+    """All conditioning data for the batched GP."""
+
+    real_Z: jnp.ndarray    # (N, D)
+    real_Y: jnp.ndarray    # (g_ny, N, Ty)
+    hall_Z: jnp.ndarray    # (ns, g_ny, Mh, D)
+    hall_Y: jnp.ndarray    # (ns, g_ny, Mh, Ty)  (NaN = empty/masked)
+    hall_n: jnp.ndarray    # scalar int32 fill count
+
+
+def init_gp_state(spec: ProblemSpec, env: Env, dtype, capacity: int = None) -> GPState:
+    X, Y = env.training_grid()
+    Y = Y[:, :, :spec.Ty]
+    Mh = capacity if capacity is not None else spec.H * max(spec.max_sqp_iter, 1)
+    D = spec.n_gp_inputs
+    return GPState(
+        real_Z=jnp.asarray(X, dtype),
+        real_Y=jnp.asarray(Y, dtype),
+        hall_Z=jnp.full((spec.ns, spec.g_ny, Mh, D), FAR, dtype),
+        hall_Y=jnp.full((spec.ns, spec.g_ny, Mh, spec.Ty), jnp.nan, dtype),
+        hall_n=jnp.asarray(0, jnp.int32),
+    )
+
+
+def reset_hall(gp: GPState) -> GPState:
+    return gp._replace(
+        hall_Z=jnp.full_like(gp.hall_Z, FAR),
+        hall_Y=jnp.full_like(gp.hall_Y, jnp.nan),
+        hall_n=jnp.zeros_like(gp.hall_n),
+    )
+
+
+def full_train_set(spec: ProblemSpec, gp: GPState):
+    """(ns, g_ny, M, D), (ns, g_ny, M, Ty) concatenated real+hallucinated."""
+    Z = jnp.broadcast_to(gp.real_Z[None, None],
+                         (spec.ns, spec.g_ny) + gp.real_Z.shape)
+    Y = jnp.broadcast_to(gp.real_Y[None], (spec.ns,) + gp.real_Y.shape)
+    return (jnp.concatenate([Z, gp.hall_Z], axis=2),
+            jnp.concatenate([Y, gp.hall_Y], axis=2))
+
+
+def make_epistemic(key, spec: ProblemSpec, dtype) -> jnp.ndarray:
+    """Pre-drawn truncated-normal base samples for every (mpc, sqp) iteration.
+
+    The reference rejection-samples whole blocks until all entries lie in
+    [-beta, beta] (ref: src/agent.py:76-104); for iid entries that equals a
+    per-entry truncated normal, which we draw directly.
+    """
+    beta = spec.gp.beta
+    shape = (spec.num_mpc_iter, spec.max_sqp_iter, spec.ns, spec.g_ny,
+             spec.H, spec.Ty)
+    return jax.random.truncated_normal(key, -beta, beta, shape, dtype)
+
+
+def _batched_posterior(spec: ProblemSpec, hyp: GPHyperArrays, Z, Y, Xt):
+    """Condition + predict, vmapped over (ns, g_ny).
+
+    Args:
+        Z: (ns, g_ny, M, D); Y: (ns, g_ny, M, Ty); Xt: (ns, H, D).
+    Returns:
+        fact pytree, mean (ns, g_ny, Ht), cov (ns, g_ny, Ht, Ht).
+    """
+    wg = spec.use_derivatives
+
+    def cond_one(Z1, Y1, ls, os_):
+        return exact.condition(Z1, Y1, ls, os_, hyp.noise_diag, hyp.jitter, wg)
+
+    fact = jax.vmap(jax.vmap(cond_one, in_axes=(0, 0, 0, 0)),
+                    in_axes=(0, 0, None, None))(
+        Z, Y, hyp.lengthscale, hyp.outputscale)
+
+    def pred_one(Xt1, Z1, f1, ls, os_):
+        return exact.predict(Xt1, Z1, f1, ls, os_, hyp.jitter, wg)
+
+    mean, cov = jax.vmap(jax.vmap(pred_one, in_axes=(None, 0, 0, 0, 0)),
+                         in_axes=(0, 0, 0, None, None))(
+        Xt, Z, fact, hyp.lengthscale, hyp.outputscale)
+    return fact, mean, cov
+
+
+def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
+                    gp: GPState, Xt: jnp.ndarray, eps: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, GPState]:
+    """One SQP iteration's GP function-sample draw + hallucination append.
+
+    Mirrors get_batch_gp_sensitivities (ref: src/agent.py:566-627): the
+    debug overrides (true dynamics / posterior mean as sample) replace GP
+    draws for the first sample indices; pure-oracle modes skip conditioning
+    entirely.
+
+    Args:
+        Xt: (ns, H, D) GP inputs along the current iterate.
+        eps: (ns, g_ny, H, Ty) epistemic base draws for this iteration.
+    Returns:
+        dg: (ns, g_ny, H, Ty) sampled values(+gradients); updated GPState.
+    """
+    H, Ty = spec.H, spec.Ty
+    oracle_only = (
+        (spec.true_dyn_as_sample or spec.mean_as_dyn_sample) and spec.ns == 1
+    ) or (spec.true_dyn_as_sample and spec.mean_as_dyn_sample and spec.ns == 2)
+
+    def true_rows(Xt_one):
+        rows = jax.vmap(env.g_prior)(Xt_one)          # (H, g_ny, 1+D)
+        return jnp.swapaxes(rows, 0, 1)[..., :Ty]     # (g_ny, H, Ty)
+
+    if oracle_only and not spec.mean_as_dyn_sample:
+        # pure true-dynamics oracle: no GP work at all
+        dg = true_rows(Xt[0])[None]
+        if spec.ns == 2:
+            dg = jnp.tile(dg, (2, 1, 1, 1))
+        return dg, gp
+
+    Z, Y = full_train_set(spec, gp)
+    fact, mean, cov = _batched_posterior(spec, hyp, Z, Y, Xt)
+
+    if oracle_only:
+        dg = jnp.zeros((spec.ns, spec.g_ny, H, Ty), Xt.dtype)
+    else:
+        def samp_one(Xt1, Z1, Y1, f1, mean1, cov1, eps1):
+            return exact.sample_with_overrides(
+                Xt1, Z1, Y1, f1, mean1, cov1, eps1.reshape(-1), hyp, Ty)
+
+        dg = jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0, 0)),
+                      in_axes=(0, 0, 0, 0, 0, 0, 0))(
+            Xt, Z, Y, fact, mean, cov, eps)          # (ns, g_ny, H, Ty)
+
+    idx = 0
+    if spec.true_dyn_as_sample:
+        dg = dg.at[idx].set(true_rows(Xt[idx]))
+        idx += 1
+    if spec.mean_as_dyn_sample:
+        dg = dg.at[idx].set(mean[idx].reshape(spec.g_ny, H, Ty))
+        idx += 1
+
+    if not oracle_only:
+        gp = append_hall(spec, hyp, gp, Xt, dg, Z)
+    return dg, gp
+
+
+def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
+                Xt, dg, Z_full) -> GPState:
+    """Append this iteration's samples to the hallucination buffer.
+
+    Near-duplicate new points (within min_data_dist of any existing
+    conditioning point) get NaN observations so they are masked out —
+    the static-shape version of the reference's filter
+    (ref: src/agent.py:164-202).
+    """
+    newZ = jnp.broadcast_to(Xt[:, None], (spec.ns, spec.g_ny) + Xt.shape[1:])
+    newY = dg
+    if hyp.min_data_dist >= 0.0:
+        dist = jnp.linalg.norm(
+            newZ[:, :, :, None, :] - Z_full[:, :, None, :, :], axis=-1)
+        too_close = jnp.any(dist <= hyp.min_data_dist, axis=-1)  # (ns,g_ny,H)
+        newY = jnp.where(too_close[..., None], jnp.nan, newY)
+
+    hall_Z = jax.lax.dynamic_update_slice(
+        gp.hall_Z, newZ, (0, 0, gp.hall_n, 0))
+    hall_Y = jax.lax.dynamic_update_slice(
+        gp.hall_Y, newY, (0, 0, gp.hall_n, 0))
+    return gp._replace(hall_Z=hall_Z, hall_Y=hall_Y,
+                       hall_n=gp.hall_n + spec.H)
+
+
+def dyn_linearization(spec: ProblemSpec, env: Env, xu: jnp.ndarray,
+                      dg: jnp.ndarray, K_fb):
+    """Assemble per-sample per-stage (value, A, B) from sampled dynamics.
+
+    Mirrors dyn_fg_jacobians + the feedback chain rule A <- A + B K
+    (ref: src/agent.py:532-564, src/solver.py:86-90).
+
+    Args:
+        xu: (ns, H, nx+nu) linearization points (with realized inputs).
+        dg: (ns, g_ny, H, Ty) sampled GP rows.
+    Returns:
+        val (ns, H, nx), A (ns, H, nx, nx), B (ns, H, nx, nu).
+    """
+    dg_kh = jnp.swapaxes(dg, 1, 2)          # (ns, H, g_ny, Ty)
+    combined = jax.vmap(jax.vmap(env.assemble_val_jac))(xu, dg_kh)
+    val = combined[..., 0]
+    A = combined[..., 1:1 + spec.nx]
+    B = combined[..., 1 + spec.nx:]
+    if spec.use_feedback:
+        A = A + B @ jnp.asarray(K_fb, B.dtype)
+    return val, A, B

@@ -1,0 +1,95 @@
+"""Closed-loop receding-horizon MPC driver.
+
+Counterpart of the reference DEMPC orchestrator (ref: src/DEMPC.py:12-112):
+the host loop steps the true plant and re-invokes the jitted SQP solve;
+warm starting shifts the previous solution (ref: src/solver.py:174-189).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sampling_gpmpc_tpu import agent as agent_mod
+from sampling_gpmpc_tpu.config import ProblemData, ProblemSpec
+from sampling_gpmpc_tpu.envs.base import Env
+from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+from sampling_gpmpc_tpu.ocp import sqp
+from sampling_gpmpc_tpu.ocp.spec import OCPData, make_ocp_data
+
+
+def shift_solution(spec: ProblemSpec, X, U):
+    """Warm-start shift (ref: src/solver.py:174-178): stages move one step
+    forward; the terminal state and last input are repeated."""
+    X_s = jnp.concatenate([X[1:], X[-1:]], axis=0)
+    U_s = jnp.concatenate([U[1:], U[-1:]], axis=0)
+    return X_s, U_s
+
+
+class DEMPC:
+    """Owns the jitted solve and the closed-loop state."""
+
+    def __init__(self, params: dict, spec: ProblemSpec, data: ProblemData,
+                 env: Env, dtype=None, recorder=None):
+        from sampling_gpmpc_tpu.setup import default_dtype
+        self.spec, self.data, self.env = spec, data, env
+        self.dtype = dtype or default_dtype()
+        self.ocp = make_ocp_data(spec, data, self.dtype)
+        self.hyp = GPHyperArrays.from_spec(spec.gp, self.dtype)
+        self.gp_state = agent_mod.init_gp_state(spec, env, self.dtype)
+        key = jax.random.PRNGKey(spec.seed)
+        self.epistemic = agent_mod.make_epistemic(key, spec, self.dtype)
+        self.recorder = recorder
+
+        self._solve = jax.jit(
+            lambda st, X, U, gp, eps: sqp.solve(
+                spec, env, self.hyp, self.ocp, st, X, U, gp, eps))
+        self._plant = jax.jit(env.discrete_dyn)
+
+    def run(self, x0: Optional[np.ndarray] = None):
+        """Full closed loop (ref: src/DEMPC.py:39-80). Returns trajectories."""
+        spec = self.spec
+        x_curr = jnp.asarray(x0 if x0 is not None else self.data.start,
+                             self.dtype)
+        X, U = sqp.init_iterate(spec, self.dtype, self.data.start)
+        phys, inputs, plans, times = [], [], [], []
+
+        for m in range(spec.num_mpc_iter):
+            t0 = time.perf_counter()
+            st = self._solve(x_curr, X, U, self.gp_state, self.epistemic[m])
+            st.X.block_until_ready()
+            dt_solve = time.perf_counter() - t0
+
+            X, U, self.gp_state = st.X, st.U, st.gp
+            u0 = U[0]
+            if spec.use_feedback:
+                K = jnp.asarray(self.data.K_fb, self.dtype)
+                u0 = u0 - (jnp.asarray(self.data.goal, self.dtype)
+                           - X[0, 0]) @ K.T
+            x_next = self._plant(X[0, 0], u0)
+
+            phys.append(np.asarray(x_curr))
+            inputs.append(np.asarray(U))
+            plans.append(np.asarray(X))
+            times.append(dt_solve)
+            if self.recorder is not None:
+                self.recorder.record(np.asarray(x_curr), np.asarray(X),
+                                     np.asarray(U), dt_solve, self)
+
+            x_curr = x_next.reshape(-1)
+            if spec.shift_soln:
+                X, U = shift_solution(spec, X, U)
+
+        return {
+            "physical_state_traj": phys,
+            "input_traj": inputs,
+            "state_traj": plans,
+            "solver_time": times,
+            "final_state": np.asarray(x_curr),
+            "sqp_iters": int(st.it),
+            "sqp_status": int(st.status),
+        }

@@ -1,0 +1,52 @@
+"""Per-sample condensing of affine-dynamics trajectories onto the input.
+
+The augmented OCP couples the ns sampled dynamics only through the shared
+input (ref: src/utils/model.py:10-41).  Rather than forming the reference's
+dense (nx*ns*H) QP (HPIPM full condensing), we condense each sample onto
+dU = (du_0..du_{H-1}) independently — batched over samples with vmap —
+and reduce only the small input-space quantities across samples (psum on a
+mesh).  For delta-dynamics
+
+    dx_{k+1} = A_k dx_k + B_k du_k + r_k,     dx_0 fixed,
+
+the affine map is  dx_k = T_k + Gamma_k dU  with
+
+    T_0 = dx_0,            T_{k+1} = A_k T_k + r_k
+    Gamma_0 = 0,           Gamma_{k+1} = A_k Gamma_k + B_k e_k^T .
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def condense_single(A, B, r, dx0):
+    """Condense one sample's trajectory.
+
+    Args:
+        A: (H, nx, nx); B: (H, nx, nu); r: (H, nx); dx0: (nx,)
+    Returns:
+        T: (H+1, nx); Gamma: (H+1, nx, H*nu)
+    """
+    H, nx, nu = B.shape
+    G0 = jnp.zeros((nx, H * nu), A.dtype)
+
+    def step(carry, inp):
+        T_k, G_k = carry
+        A_k, B_k, r_k, k = inp
+        T_n = A_k @ T_k + r_k
+        G_n = A_k @ G_k
+        G_n = jax.lax.dynamic_update_slice(
+            G_n, G_n[:, :nu] * 0 + B_k, (0, k * nu))
+        # add B_k into column block k (block was zero before this stage)
+        return (T_n, G_n), (T_n, G_n)
+
+    ks = jnp.arange(H)
+    (_, _), (T_tail, G_tail) = jax.lax.scan(step, (dx0, G0), (A, B, r, ks))
+    T = jnp.concatenate([dx0[None], T_tail], axis=0)
+    Gamma = jnp.concatenate([G0[None], G_tail], axis=0)
+    return T, Gamma
+
+
+condense = jax.vmap(condense_single)  # over the sample axis

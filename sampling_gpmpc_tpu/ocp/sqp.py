@@ -1,0 +1,134 @@
+"""SQP-RTI solve loop over the augmented sampled-dynamics OCP.
+
+Jitted replacement for the reference's DEMPC_solver.solve
+(ref: src/solver.py:39-156).  Each iteration:
+
+  1. convergence check on the relative iterate change (ref: solver.py:66-81),
+  2. GP condition + function-sample along the iterate (agent.sample_dynamics,
+     resetting the hallucination buffer at iteration 0 — ref: agent.py:261-272),
+  3. per-sample affine linearization (A, B, value) with the ancillary
+     feedback chain rule,
+  4. condensing onto dU, QP assembly, dense PDIP solve,
+  5. delta-iterate update.
+
+The whole loop runs under ``lax.while_loop`` so one MPC step is a single
+XLA computation; the convergence predicate mirrors SQP-RTI semantics (one
+QP per iteration, Levenberg-Marquardt damped).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sampling_gpmpc_tpu import agent as agent_mod
+from sampling_gpmpc_tpu.agent import GPState
+from sampling_gpmpc_tpu.config import ProblemSpec
+from sampling_gpmpc_tpu.envs.base import Env
+from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+from sampling_gpmpc_tpu.ocp.assemble import (assemble_canonical, build_cost,
+                                             build_hard_rows, build_soft_rows)
+from sampling_gpmpc_tpu.ocp.condense import condense
+from sampling_gpmpc_tpu.ocp.qp import solve_qp
+from sampling_gpmpc_tpu.ocp.spec import OCPData
+
+
+class SolveState(NamedTuple):
+    X: jnp.ndarray        # (H+1, ns, nx) current iterate
+    U: jnp.ndarray        # (H, nu)
+    X_prev: jnp.ndarray
+    U_prev: jnp.ndarray
+    gp: GPState
+    it: jnp.ndarray       # sqp iteration counter
+    status: jnp.ndarray   # 0 ok
+    done: jnp.ndarray     # convergence flag
+
+
+def init_iterate(spec: ProblemSpec, dtype, start=None):
+    """Initial iterate: the start state tiled over all stages, zero inputs —
+    acados' default initialization when ``constraints.x0`` is set
+    (ref: src/utils/ocp.py:175-177).  Linearizing at zeros instead renders
+    the very first QP infeasible for the car configs."""
+    if start is None:
+        X0 = jnp.zeros((spec.H + 1, spec.ns, spec.nx), dtype)
+    else:
+        X0 = jnp.broadcast_to(jnp.asarray(start, dtype)[None, None],
+                              (spec.H + 1, spec.ns, spec.nx)).copy()
+    return X0, jnp.zeros((spec.H, spec.nu), dtype)
+
+
+def _linearization_inputs(spec: ProblemSpec, ocp: OCPData, X, U):
+    """Per-sample (x, u_realized) points (ref: solver.py:86-92)."""
+    Xs = jnp.swapaxes(X[:spec.H], 0, 1)                     # (ns, H, nx)
+    Ub = jnp.broadcast_to(U[None], (spec.ns,) + U.shape)    # (ns, H, nu)
+    if spec.use_feedback:
+        Ueff = Ub - (ocp.x_eq[None, None] - Xs) @ ocp.K_fb.T
+    else:
+        Ueff = Ub
+    return jnp.concatenate([Xs, Ueff], axis=-1)             # (ns, H, nx+nu)
+
+
+def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
+                  ocp: OCPData, st_curr, X, U, gp: GPState, eps):
+    """One full SQP-RTI iteration; returns updated (X, U, gp, status)."""
+    H, nx, nu, ns = spec.H, spec.nx, spec.nu, spec.ns
+
+    xu = _linearization_inputs(spec, ocp, X, U)
+    Xt = xu[..., jnp.asarray(spec.g_idx_inputs)]            # (ns, H, D)
+    dg, gp = agent_mod.sample_dynamics(spec, env, hyp, gp, Xt, eps)
+    val, A, B = agent_mod.dyn_linearization(spec, env, xu, dg, ocp.K_fb)
+
+    # delta dynamics: dx_{k+1} = A dx_k + B du_k + r_k with the linearization
+    # residual r = f_lin - x̄_{k+1}
+    r = val - jnp.swapaxes(X[1:], 0, 1)
+    dx0 = jnp.broadcast_to(st_curr[None], (ns, nx)) - X[0]
+    T, Gamma = condense(A, B, r, dx0)
+
+    H_U, g_U = build_cost(spec, ocp, T, Gamma, X, U)
+    hard = build_hard_rows(spec, ocp, T, Gamma, X, U)
+    soft, penalties = build_soft_rows(spec, ocp, T, Gamma, X)
+    P, q, C, d = assemble_canonical(H_U, g_U, hard, soft, penalties)
+    sol = solve_qp(P, q, C, d)
+
+    dU = sol.z[:H * nu]
+    dX = T + jnp.einsum("ikau,u->ika", Gamma, dU)           # (ns, H+1, nx)
+    X_new = X + jnp.swapaxes(dX, 0, 1)
+    U_new = U + dU.reshape(H, nu)
+    return X_new, U_new, gp, sol.status
+
+
+def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
+          st_curr, X0, U0, gp0: GPState, eps_iters):
+    """Full SQP solve for one MPC step.
+
+    Args:
+        st_curr: (nx,) measured state (x0 equality bound).
+        X0, U0: warm-start iterate.
+        eps_iters: (max_sqp_iter, ns, g_ny, H, Ty) epistemic draws.
+    Returns:
+        SolveState after convergence or max_sqp_iter iterations.
+    """
+    gp0 = agent_mod.reset_hall(gp0)
+
+    def cond(s: SolveState):
+        return (s.it < spec.max_sqp_iter) & ~s.done & (s.status == 0)
+
+    def body(s: SolveState):
+        eps = jax.lax.dynamic_index_in_dim(eps_iters, s.it, keepdims=False)
+        X, U, gp, status = sqp_iteration(
+            spec, env, hyp, ocp, st_curr, s.X, s.U, s.gp, eps)
+        # relative-change convergence on the *next* iteration's entry check
+        # (ref: solver.py:57-81 compares consecutive post-QP iterates)
+        x_diff = jnp.linalg.norm(X[:spec.H] - s.X[:spec.H]) / (
+            jnp.linalg.norm(s.X[:spec.H]) + 1e-6)
+        u_diff = jnp.linalg.norm(U - s.U) / (jnp.linalg.norm(s.U) + 1e-6)
+        done = (x_diff < spec.tol_nlp) & (u_diff < spec.tol_nlp)
+        return SolveState(X=X, U=U, X_prev=s.X, U_prev=s.U, gp=gp,
+                          it=s.it + 1, status=status, done=done)
+
+    init = SolveState(
+        X=X0, U=U0, X_prev=X0, U_prev=U0, gp=gp0,
+        it=jnp.asarray(0), status=jnp.asarray(0), done=jnp.asarray(False))
+    return jax.lax.while_loop(cond, body, init)

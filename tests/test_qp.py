@@ -1,0 +1,95 @@
+"""QP and condensing tests against scipy / brute-force oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from sampling_gpmpc_tpu.ocp.condense import condense, condense_single
+from sampling_gpmpc_tpu.ocp.qp import boxes_to_rows, solve_qp
+
+
+def test_condense_matches_rollout():
+    rng = np.random.default_rng(0)
+    ns, H, nx, nu = 3, 6, 4, 2
+    A = rng.normal(size=(ns, H, nx, nx)) * 0.4
+    B = rng.normal(size=(ns, H, nx, nu))
+    r = rng.normal(size=(ns, H, nx))
+    dx0 = rng.normal(size=(ns, nx))
+    dU = rng.normal(size=(H * nu,))
+
+    T, G = condense(jnp.asarray(A), jnp.asarray(B), jnp.asarray(r),
+                    jnp.asarray(dx0))
+    assert T.shape == (ns, H + 1, nx) and G.shape == (ns, H + 1, nx, H * nu)
+
+    for i in range(ns):
+        x = dx0[i]
+        np.testing.assert_allclose(np.asarray(T[i, 0] + G[i, 0] @ dU), x,
+                                   atol=1e-12)
+        for k in range(H):
+            u_k = dU[k * nu:(k + 1) * nu]
+            x = A[i, k] @ x + B[i, k] @ u_k + r[i, k]
+            np.testing.assert_allclose(
+                np.asarray(T[i, k + 1] + G[i, k + 1] @ dU), x, atol=1e-10)
+
+
+def _oracle_qp(P, q, C, d):
+    n = q.shape[0]
+    res = scipy.optimize.minimize(
+        lambda z: 0.5 * z @ P @ z + q @ z, np.zeros(n), jac=lambda z: P @ z + q,
+        constraints=[{"type": "ineq", "fun": lambda z: d - C @ z,
+                      "jac": lambda z: -C}],
+        method="SLSQP", options={"maxiter": 300, "ftol": 1e-12})
+    return res.x
+
+
+def test_qp_unconstrained_solution():
+    rng = np.random.default_rng(1)
+    n = 8
+    Phalf = rng.normal(size=(n, n))
+    P = Phalf @ Phalf.T + np.eye(n)
+    q = rng.normal(size=n)
+    C = np.zeros((1, n))
+    d = np.array([1e8])
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(C), jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(sol.z), -np.linalg.solve(P, q),
+                               atol=1e-7)
+    assert int(sol.status) == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_qp_matches_scipy_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n, m = 10, 25
+    Phalf = rng.normal(size=(n, n))
+    P = Phalf @ Phalf.T + 0.5 * np.eye(n)
+    q = rng.normal(size=n) * 2
+    C = rng.normal(size=(m, n))
+    d = rng.uniform(0.05, 1.0, size=m)  # feasible at 0
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(C), jnp.asarray(d))
+    z_ref = _oracle_qp(P, q, C, d)
+    assert int(sol.status) == 0
+    np.testing.assert_allclose(np.asarray(sol.z), z_ref, atol=5e-6)
+
+
+def test_qp_with_big_bounds_inactive():
+    """+/-1e8 pseudo-infinite rows must not perturb the solution."""
+    rng = np.random.default_rng(5)
+    n = 6
+    P = np.eye(n)
+    q = rng.normal(size=n)
+    G = np.eye(n)
+    C, d = boxes_to_rows(jnp.asarray(G), jnp.asarray(-1e8 * np.ones(n)),
+                         jnp.asarray(1e8 * np.ones(n)))
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), C, d)
+    np.testing.assert_allclose(np.asarray(sol.z), -q, atol=1e-6)
+
+
+def test_qp_active_box():
+    P = np.eye(2)
+    q = np.array([-10.0, 0.3])
+    C, d = boxes_to_rows(jnp.eye(2), jnp.asarray([-1.0, -1.0]),
+                         jnp.asarray([1.0, 1.0]))
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), C, d)
+    np.testing.assert_allclose(np.asarray(sol.z), [1.0, -0.3], atol=1e-7)

@@ -1,0 +1,88 @@
+"""End-to-end nominal SQP-MPC slice: car_residual with ns=1 and the
+true-dynamics oracle as the single sample (no GP in the loop).
+
+At an SQP fixed point the affine model is exact at the linearization point,
+so the converged trajectory must satisfy the true discrete dynamics
+stage-by-stage — the strongest internal-consistency oracle available
+without running acados (SURVEY §4, oracle (2))."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sampling_gpmpc_tpu.config import load_problem
+from sampling_gpmpc_tpu.dempc import DEMPC
+from sampling_gpmpc_tpu.envs import make_env
+
+
+@pytest.fixture(scope="module")
+def car_problem(request):
+    pdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "params")
+    params, spec, data = load_problem(
+        os.path.join(pdir, "params_car_residual.yaml"))
+    return params, spec, data
+
+
+def _run(params, spec, data):
+    env = make_env(spec, params)
+    mpc = DEMPC(params, spec, data, env)
+    out = mpc.run()
+    return env, out
+
+
+def _dyn_residual(env, spec, data, X, U):
+    K = data.K_fb
+    err = 0.0
+    for k in range(spec.H):
+        u_eff = U[k] - (data.goal - X[k, 0]) @ K.T
+        x_next = np.asarray(env.discrete_dyn(jnp.asarray(X[k, 0]),
+                                             jnp.asarray(u_eff)))
+        err = max(err, np.max(np.abs(x_next - X[k + 1, 0])))
+    return err
+
+
+def test_car_residual_one_step(car_problem):
+    """Stock config (LM=30): SQP-RTI limit-cycles with small amplitude at the
+    active phi bounds — check feasibility and lane-change behavior."""
+    params, spec, data = car_problem
+    env, out = _run(params, spec, data)
+
+    assert out["sqp_status"] == 0
+    X = out["state_traj"][0]           # (H+1, ns, nx)
+    U = out["input_traj"][0]           # (H, nu)
+    H = spec.H
+
+    np.testing.assert_allclose(X[0, 0], data.start, atol=1e-6)
+    for k in range(1, H + 1):
+        assert np.all(X[k, 0] >= data.x_min - 1e-4)
+        assert np.all(X[k, 0] <= data.x_max + 1e-4)
+    K = data.K_fb
+    for k in range(H):
+        u_eff = U[k] - (data.goal - X[k, 0]) @ K.T
+        assert np.all(u_eff >= data.u_min - 1e-3)
+        assert np.all(u_eff <= data.u_max + 1e-3)
+    # lane-change tracking: y reaches the 11.0 plateau and returns
+    y = X[:, 0, 1]
+    assert y.max() > 10.0 and abs(y[-1] - 1.95) < 2.0
+    # linearization consistency bounded by the RTI cycle amplitude
+    assert _dyn_residual(env, spec, data, X, U) < 0.5
+
+
+def test_car_residual_fixed_point_with_stronger_damping(car_problem):
+    """With LM large enough for strict contraction the converged iterate is
+    an exact SQP fixed point: the plan must satisfy the true nonlinear
+    dynamics stage-by-stage (SURVEY §4 oracle (2))."""
+    import dataclasses
+    params, spec, data = car_problem
+    spec = dataclasses.replace(spec, levenberg_marquardt=120.0)
+    env, out = _run(params, spec, data)
+
+    assert out["sqp_status"] == 0
+    X = out["state_traj"][0]
+    U = out["input_traj"][0]
+    assert _dyn_residual(env, spec, data, X, U) < 1e-4
+    assert X[:, 0, 1].max() > 10.0
