@@ -183,10 +183,11 @@ def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
         too_close = jnp.any(dist <= hyp.min_data_dist, axis=-1)  # (ns,g_ny,H)
         newY = jnp.where(too_close[..., None], jnp.nan, newY)
 
+    zero = jnp.zeros((), gp.hall_n.dtype)
     hall_Z = jax.lax.dynamic_update_slice(
-        gp.hall_Z, newZ, (0, 0, gp.hall_n, 0))
+        gp.hall_Z, newZ, (zero, zero, gp.hall_n, zero))
     hall_Y = jax.lax.dynamic_update_slice(
-        gp.hall_Y, newY, (0, 0, gp.hall_n, 0))
+        gp.hall_Y, newY, (zero, zero, gp.hall_n, zero))
     return gp._replace(hall_Z=hall_Z, hall_Y=hall_Y,
                        hall_n=gp.hall_n + spec.H)
 
