@@ -108,8 +108,8 @@ def _batched_posterior(spec: ProblemSpec, hyp: GPHyperArrays, Z, Y, Xt):
 
 
 def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
-                    gp: GPState, Xt: jnp.ndarray, eps: jnp.ndarray
-                    ) -> Tuple[jnp.ndarray, GPState]:
+                    gp: GPState, Xt: jnp.ndarray, eps: jnp.ndarray,
+                    axis_name=None) -> Tuple[jnp.ndarray, GPState]:
     """One SQP iteration's GP function-sample draw + hallucination append.
 
     Mirrors get_batch_gp_sensitivities (ref: src/agent.py:566-627): the
@@ -133,11 +133,8 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         return jnp.swapaxes(rows, 0, 1)[..., :Ty]     # (g_ny, H, Ty)
 
     if oracle_only and not spec.mean_as_dyn_sample:
-        # pure true-dynamics oracle: no GP work at all
-        dg = true_rows(Xt[0])[None]
-        if spec.ns == 2:
-            dg = jnp.tile(dg, (2, 1, 1, 1))
-        return dg, gp
+        # pure true-dynamics oracle (ns=1): no GP work at all
+        return true_rows(Xt[0])[None], gp
 
     Z, Y = full_train_set(spec, gp)
     fact, mean, cov = _batched_posterior(spec, hyp, Z, Y, Xt)
@@ -153,12 +150,20 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                       in_axes=(0, 0, 0, 0, 0, 0, 0))(
             Xt, Z, Y, fact, mean, cov, eps)          # (ns, g_ny, H, Ty)
 
+    # debug overrides address *global* sample indices 0 (and 1); under
+    # shard_map these live on shard 0, so mask by the global index
+    offset = (jax.lax.axis_index(axis_name) * spec.ns
+              if axis_name is not None else 0)
+    gidx = offset + jnp.arange(spec.ns)
     idx = 0
     if spec.true_dyn_as_sample:
-        dg = dg.at[idx].set(true_rows(Xt[idx]))
+        dg = jnp.where((gidx == idx)[:, None, None, None],
+                       true_rows(Xt[0])[None], dg)
         idx += 1
     if spec.mean_as_dyn_sample:
-        dg = dg.at[idx].set(mean[idx].reshape(spec.g_ny, H, Ty))
+        dg = jnp.where((gidx == idx)[:, None, None, None],
+                       mean[min(idx, spec.ns - 1)].reshape(
+                           spec.g_ny, H, Ty)[None], dg)
         idx += 1
 
     if not oracle_only:

@@ -29,7 +29,8 @@ class Rows(NamedTuple):
     hi: jnp.ndarray   # (m,)
 
 
-def build_cost(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar):
+def build_cost(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar,
+               axis_name=None):
     """Condensed Hessian/gradient of the (expected) tracking cost + LM.
 
     Per stage k and sample i the x-block Hessian is 2 w_i Q_k + lm I and the
@@ -37,6 +38,11 @@ def build_cost(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar):
     Levenberg-Marquardt term regularizes the QP *variable* dx = T + Gamma dU
     toward zero, exactly like acados adds lm*I to every stage Hessian
     (ref: src/utils/ocp.py:303-306).
+
+    With ``axis_name`` (inside shard_map over the sample axis) the per-sample
+    x-contributions are psum-reduced — this (nU², nU) reduction is the only
+    cross-chip traffic of the cost assembly — and the replicated input blocks
+    are added once afterwards.
     """
     H, nx, nu, ns = spec.H, spec.nx, spec.nu, spec.ns
     nU = H * nu
@@ -52,8 +58,11 @@ def build_cost(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar):
 
     H_U = jnp.einsum("ikau,ikab,ikbv->uv", Gamma, Hx, Gamma)
     g_U = jnp.einsum("ikau,ika->u", Gamma, grad_x)
+    if axis_name is not None:
+        H_U = jax.lax.psum(H_U, axis_name)
+        g_U = jax.lax.psum(g_U, axis_name)
 
-    # input blocks: Hu = 2 Qu + lm I, grad_u = 2 Qu ū
+    # input blocks: Hu = 2 Qu + lm I, grad_u = 2 Qu ū (replicated, added once)
     Hu = 2.0 * ocp.Qu + ocp.lm * jnp.eye(nu, dtype=Qk.dtype)
     H_U = H_U + jnp.kron(jnp.eye(H, dtype=Qk.dtype), Hu)
     g_U = g_U + (2.0 * Ubar @ ocp.Qu).reshape(nU)

@@ -33,16 +33,35 @@ class QPSolution(NamedTuple):
     gap: jnp.ndarray
 
 
-def solve_qp(P, q, C, d, tol: float = 1e-8, max_iter: int = 50) -> QPSolution:
+def solve_qp(P, q, C, d, tol: float = 1e-8, max_iter: int = 50,
+             axis_name=None) -> QPSolution:
     """Solve min 0.5 z'Pz + q'z s.t. Cz <= d.
 
+    With ``axis_name`` set (inside shard_map), the constraint rows (C, d)
+    are sharded over that mesh axis while (P, q, z) are replicated: every
+    row-reduction (Schur complement C'WC, dual residual C'lam, step-length
+    ratios, complementarity) goes through a psum/pmin collective, making
+    this a distributed IPM whose cross-chip traffic per iteration is one
+    (nz, nz) matrix + a few scalars (SURVEY §2.4: the coupling across
+    dynamics samples is only through the shared input).
+
     Args:
-        P: (nz, nz) PD Hessian; q: (nz,); C: (m, nz); d: (m,).
+        P: (nz, nz) PD Hessian; q: (nz,); C: (m_local, nz); d: (m_local,).
     """
     nz = q.shape[0]
-    m = d.shape[0]
     dtype = q.dtype
     eye = jnp.eye(nz, dtype=dtype)
+
+    if axis_name is None:
+        psum = lambda x: x
+        pmin = lambda x: x
+        pmax = lambda x: x
+        m = d.shape[0]
+    else:
+        psum = lambda x: jax.lax.psum(x, axis_name)
+        pmin = lambda x: jax.lax.pmin(x, axis_name)
+        pmax = lambda x: jax.lax.pmax(x, axis_name)
+        m = d.shape[0] * jax.lax.psum(1, axis_name)
 
     z0 = jnp.zeros(nz, dtype)
     s0 = jnp.maximum(d - C @ z0, 1.0)
@@ -53,11 +72,11 @@ def solve_qp(P, q, C, d, tol: float = 1e-8, max_iter: int = 50) -> QPSolution:
 
     def newton(z, lam, s, sigma_mu, ds_dlam_corr):
         w = lam / s
-        r_dual = P @ z + q + C.T @ lam
+        r_dual = P @ z + q + psum(C.T @ lam)
         r_prim = C @ z + s - d
         r_cent = lam * s - sigma_mu + ds_dlam_corr
-        rhs = -r_dual + C.T @ (r_cent / s - w * r_prim)
-        M = P + (C.T * w) @ C
+        rhs = -r_dual + psum(C.T @ (r_cent / s - w * r_prim))
+        M = P + psum((C.T * w) @ C)
         L = jnp.linalg.cholesky(M + 1e-13 * eye)
         dz = jax.scipy.linalg.cho_solve((L, True), rhs)
         ds = -r_prim - C @ dz
@@ -66,27 +85,27 @@ def solve_qp(P, q, C, d, tol: float = 1e-8, max_iter: int = 50) -> QPSolution:
 
     def max_step(v, dv):
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-        return jnp.minimum(1.0, 0.99 * jnp.min(ratio))
+        return jnp.minimum(1.0, 0.99 * pmin(jnp.min(ratio)))
 
     # scale-aware residuals: the dual residual lives in the units of q
     # (soft-constraint penalties push |q| to ~1e7), the primal in units of z
     qscale = 1.0 + jnp.max(jnp.abs(q))
 
     def residual(z, lam, s):
-        r_dual = jnp.max(jnp.abs(P @ z + q + C.T @ lam)) / qscale
-        r_prim = jnp.max(jnp.abs(C @ z + s - d))
+        r_dual = jnp.max(jnp.abs(P @ z + q + psum(C.T @ lam))) / qscale
+        r_prim = pmax(jnp.max(jnp.abs(C @ z + s - d), initial=0.0))
         return jnp.maximum(jnp.maximum(r_dual, r_prim),
-                           jnp.dot(s, lam) / (m * qscale))
+                           psum(jnp.dot(s, lam)) / (m * qscale))
 
     def body(carry):
         z, lam, s, it, _ = carry
-        mu = jnp.dot(s, lam) / m
+        mu = psum(jnp.dot(s, lam)) / m
 
         # predictor (affine) step
         dz_a, ds_a, dlam_a = newton(z, lam, s, 0.0, 0.0)
         a_p = max_step(s, ds_a)
         a_d = max_step(lam, dlam_a)
-        mu_aff = jnp.dot(s + a_p * ds_a, lam + a_d * dlam_a) / m
+        mu_aff = psum(jnp.dot(s + a_p * ds_a, lam + a_d * dlam_a)) / m
         sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
 
         # corrector
@@ -96,9 +115,11 @@ def solve_qp(P, q, C, d, tol: float = 1e-8, max_iter: int = 50) -> QPSolution:
         s_n = s + alpha * ds
         lam_n = lam + alpha * dlam
 
-        # freeze the iterate if numerics break down (s -> 0 past convergence)
+        # freeze the iterate if numerics break down (s -> 0 past convergence);
+        # the flag must agree across shards for z to stay replicated
         ok = jnp.all(jnp.isfinite(z_n)) & jnp.all(jnp.isfinite(lam_n)) \
             & jnp.all(jnp.isfinite(s_n))
+        ok = pmin(ok.astype(jnp.int32)) > 0
         z = jnp.where(ok, z_n, z)
         s = jnp.where(ok, s_n, s)
         lam = jnp.where(ok, lam_n, lam)

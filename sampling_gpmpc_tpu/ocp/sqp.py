@@ -71,13 +71,21 @@ def _linearization_inputs(spec: ProblemSpec, ocp: OCPData, X, U):
 
 
 def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
-                  ocp: OCPData, st_curr, X, U, gp: GPState, eps):
-    """One full SQP-RTI iteration; returns updated (X, U, gp, status)."""
+                  ocp: OCPData, st_curr, X, U, gp: GPState, eps,
+                  axis_name=None):
+    """One full SQP-RTI iteration; returns updated (X, U, gp, status).
+
+    With ``axis_name`` this body runs inside shard_map over the sample axis:
+    GP sampling, linearization, condensing and constraint rows are
+    shard-local; only the condensed cost and the QP's row-reductions cross
+    chips (SURVEY §2.4).
+    """
     H, nx, nu, ns = spec.H, spec.nx, spec.nu, spec.ns
 
     xu = _linearization_inputs(spec, ocp, X, U)
     Xt = xu[..., jnp.asarray(spec.g_idx_inputs)]            # (ns, H, D)
-    dg, gp = agent_mod.sample_dynamics(spec, env, hyp, gp, Xt, eps)
+    dg, gp = agent_mod.sample_dynamics(spec, env, hyp, gp, Xt, eps,
+                                       axis_name=axis_name)
     val, A, B = agent_mod.dyn_linearization(spec, env, xu, dg, ocp.K_fb)
 
     # delta dynamics: dx_{k+1} = A dx_k + B du_k + r_k with the linearization
@@ -86,11 +94,11 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     dx0 = jnp.broadcast_to(st_curr[None], (ns, nx)) - X[0]
     T, Gamma = condense(A, B, r, dx0)
 
-    H_U, g_U = build_cost(spec, ocp, T, Gamma, X, U)
+    H_U, g_U = build_cost(spec, ocp, T, Gamma, X, U, axis_name=axis_name)
     hard = build_hard_rows(spec, ocp, T, Gamma, X, U)
     soft, penalties = build_soft_rows(spec, ocp, T, Gamma, X)
     P, q, C, d = assemble_canonical(H_U, g_U, hard, soft, penalties)
-    sol = solve_qp(P, q, C, d)
+    sol = solve_qp(P, q, C, d, axis_name=axis_name)
 
     dU = sol.z[:H * nu]
     dX = T + jnp.einsum("ikau,u->ika", Gamma, dU)           # (ns, H+1, nx)
@@ -100,7 +108,7 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
 
 
 def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
-          st_curr, X0, U0, gp0: GPState, eps_iters):
+          st_curr, X0, U0, gp0: GPState, eps_iters, axis_name=None):
     """Full SQP solve for one MPC step.
 
     Args:
@@ -118,11 +126,19 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
     def body(s: SolveState):
         eps = jax.lax.dynamic_index_in_dim(eps_iters, s.it, keepdims=False)
         X, U, gp, status = sqp_iteration(
-            spec, env, hyp, ocp, st_curr, s.X, s.U, s.gp, eps)
+            spec, env, hyp, ocp, st_curr, s.X, s.U, s.gp, eps,
+            axis_name=axis_name)
         # relative-change convergence on the *next* iteration's entry check
-        # (ref: solver.py:57-81 compares consecutive post-QP iterates)
-        x_diff = jnp.linalg.norm(X[:spec.H] - s.X[:spec.H]) / (
-            jnp.linalg.norm(s.X[:spec.H]) + 1e-6)
+        # (ref: solver.py:57-81 compares consecutive post-QP iterates);
+        # under sharding the Frobenius norms reduce over all shards
+        def _norm(a):
+            sq = jnp.sum(a * a)
+            if axis_name is not None:
+                sq = jax.lax.psum(sq, axis_name)
+            return jnp.sqrt(sq)
+
+        x_diff = _norm(X[:spec.H] - s.X[:spec.H]) / (
+            _norm(s.X[:spec.H]) + 1e-6)
         u_diff = jnp.linalg.norm(U - s.U) / (jnp.linalg.norm(s.U) + 1e-6)
         done = (x_diff < spec.tol_nlp) & (u_diff < spec.tol_nlp)
         return SolveState(X=X, U=U, X_prev=s.X, U_prev=s.U, gp=gp,

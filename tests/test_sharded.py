@@ -1,0 +1,77 @@
+"""Sharded-solver equivalence: the ns-sharded SQP solve on an 8-device CPU
+mesh must match the single-device solve bit-for-bit (same folded epistemic
+draws, same QP path) — SURVEY §4 oracle (5)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sampling_gpmpc_tpu import agent as agent_mod
+from sampling_gpmpc_tpu.config import load_problem
+from sampling_gpmpc_tpu.envs import make_env
+from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+from sampling_gpmpc_tpu.ocp import sqp
+from sampling_gpmpc_tpu.ocp.spec import make_ocp_data
+from sampling_gpmpc_tpu.parallel.mesh import sample_mesh
+from sampling_gpmpc_tpu.parallel.sharded import make_sharded_solve
+
+
+@pytest.fixture(scope="module")
+def problem():
+    pdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "params")
+    params, spec, data = load_problem(
+        os.path.join(pdir, "params_pendulum1D_samples.yaml"))
+    # ns must divide the 8-device mesh; keep shapes small for test speed
+    spec = dataclasses.replace(spec, ns=16, num_mpc_iter=1)
+    params["agent"]["num_dyn_samples"] = 16
+    env = make_env(spec, params)
+    return params, spec, data, env
+
+
+def _setup(spec, data, env):
+    dtype = jnp.float64
+    ocp = make_ocp_data(spec, data, dtype)
+    hyp = GPHyperArrays.from_spec(spec.gp, dtype)
+    gp = agent_mod.init_gp_state(spec, env, dtype)
+    X, U = sqp.init_iterate(spec, dtype, data.start)
+    eps = agent_mod.make_epistemic(jax.random.PRNGKey(spec.seed), spec, dtype)
+    st = jnp.asarray(data.start, dtype)
+    return dtype, ocp, hyp, gp, X, U, eps[0], st
+
+
+def test_sharded_matches_single_device(problem):
+    params, spec, data, env = problem
+    assert len(jax.devices()) == 8
+    dtype, ocp, hyp, gp, X, U, eps, st = _setup(spec, data, env)
+
+    single = jax.jit(lambda st, X, U, gp, eps: sqp.solve(
+        spec, env, hyp, ocp, st, X, U, gp, eps))
+    ref = single(st, X, U, gp, eps)
+
+    mesh = sample_mesh(8)
+    sharded = make_sharded_solve(spec, env, hyp, ocp, mesh)
+    out = sharded(st, X, U, gp, eps)
+
+    np.testing.assert_allclose(np.asarray(out.U), np.asarray(ref.U),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                               rtol=1e-8, atol=1e-10)
+    assert int(out.status) == int(ref.status)
+    assert int(out.it) == int(ref.it)
+
+
+def test_sharded_two_vs_eight_devices(problem):
+    """Scaling-degree invariance: 2-device and 8-device meshes agree."""
+    params, spec, data, env = problem
+    dtype, ocp, hyp, gp, X, U, eps, st = _setup(spec, data, env)
+    out2 = make_sharded_solve(spec, env, hyp, ocp, sample_mesh(2))(
+        st, X, U, gp, eps)
+    out8 = make_sharded_solve(spec, env, hyp, ocp, sample_mesh(8))(
+        st, X, U, gp, eps)
+    np.testing.assert_allclose(np.asarray(out2.U), np.asarray(out8.U),
+                               rtol=1e-9, atol=1e-11)
