@@ -1,0 +1,63 @@
+"""Experiment driver CLI (counterpart of the reference main.py).
+
+Usage:
+    python main.py -param params_pendulum1D_samples -env 0 -i 42
+
+Loads the reference-format YAML config, builds the environment/agent state,
+runs the closed-loop MPC, and writes a data.pkl-compatible artifact under
+experiments/<folder>/env_<env>/<param>/<i>/.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU-native sampling GP-MPC")
+    parser.add_argument("-param", default="params_pendulum1D_samples")
+    parser.add_argument("-env", type=int, default=0)
+    parser.add_argument("-i", type=int, default=42)
+    parser.add_argument("--dtype", default=None,
+                        help="float32|float64 (default: env SGPMPC_DTYPE)")
+    args = parser.parse_args()
+
+    if args.dtype:
+        os.environ["SGPMPC_DTYPE"] = args.dtype
+
+    from sampling_gpmpc_tpu.config import load_problem
+    from sampling_gpmpc_tpu.dempc import DEMPC
+    from sampling_gpmpc_tpu.envs import make_env
+    from sampling_gpmpc_tpu.recorder import Recorder
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    params, spec, data = load_problem(
+        os.path.join(here, "params", args.param + ".yaml"))
+    params["env"]["i"] = args.i
+    params["env"]["name"] = args.env
+
+    save_path = os.path.join(
+        here, "experiments", params["experiment"]["folder"],
+        f"env_{args.env}", args.param, str(args.i))
+    os.makedirs(save_path, exist_ok=True)
+
+    env = make_env(spec, params)
+    rec = Recorder(params, save_path)
+    if spec.use_tightening:
+        rec.tilde_eps_list = data.tilde_eps
+        rec.ci_list = data.ci
+
+    mpc = DEMPC(params, spec, data, env, recorder=rec)
+    out = mpc.run()
+
+    artifact = rec.save_data()
+    times = out["solver_time"]
+    print(f"saved {artifact}")
+    print(f"solver time mean={np.mean(times[1:]):.4f}s "
+          f"std={np.std(times[1:]):.4f}s (first/compile {times[0]:.2f}s)")
+    print(f"final state: {out['final_state']}")
+
+
+if __name__ == "__main__":
+    main()

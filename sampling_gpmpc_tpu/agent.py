@@ -194,7 +194,7 @@ def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
     hall_Y = jax.lax.dynamic_update_slice(
         gp.hall_Y, newY, (zero, zero, gp.hall_n, zero))
     return gp._replace(hall_Z=hall_Z, hall_Y=hall_Y,
-                       hall_n=gp.hall_n + spec.H)
+                       hall_n=gp.hall_n + newZ.shape[2])
 
 
 def dyn_linearization(spec: ProblemSpec, env: Env, xu: jnp.ndarray,

@@ -158,6 +158,18 @@ _ENV_META = {
 def make_spec(params: dict) -> ProblemSpec:
     ag, opt, env, common = (params["agent"], params["optimizer"],
                             params["env"], params["common"])
+    # several published configs omit optional switches (e.g.
+    # params_pendulum_samples has no tight/feedback blocks); default them off
+    # like the benchmark drivers do
+    ag.setdefault("tight", {"use": False, "dyn_eps": 0.0, "Lipschitz": 1.0,
+                            "w_bound": 0.0})
+    ag.setdefault("feedback", {"use": False})
+    ag.setdefault("input_generation", False)
+    ag.setdefault("shift_soln", True)
+    ag.setdefault("mean_as_dyn_sample", False)
+    ag.setdefault("true_dyn_as_sample", False)
+    env.setdefault("use_model_without_derivatives", False)
+    common.setdefault("dynamics_rejection", False)
     dyn = env["dynamics"]
     meta = _ENV_META[dyn]
     use_deriv = not env["use_model_without_derivatives"]
@@ -209,10 +221,13 @@ def make_data(params: dict, spec: ProblemSpec) -> ProblemData:
     # per-stage scalar weight "cw" — the lane-change profile in
     # input-generation mode (ref: src/solver.py:41-49)
     if spec.input_generation:
+        # lane-change profile 14/24/rest (ref: src/solver.py:41-47); clipped
+        # for short horizons (the reference only solves this with H=50)
         len_a, len_b = 14, 24
-        len_c = H + 1 - len_a - len_b
+        len_c = max(H + 1 - len_a - len_b, 0)
         w_profile = np.concatenate([
-            1.95 * np.ones(len_a), 11.0 * np.ones(len_b), 1.95 * np.ones(len_c)])
+            1.95 * np.ones(len_a), 11.0 * np.ones(len_b),
+            1.95 * np.ones(len_c)])[:H + 1]
     else:
         w_profile = np.ones(H + 1) * float(opt["w"])
 

@@ -50,6 +50,21 @@ class DEMPC:
                 spec, env, self.hyp, self.ocp, st, X, U, gp, eps))
         self._plant = jax.jit(env.discrete_dyn)
 
+        if spec.dynamics_rejection:
+            from sampling_gpmpc_tpu.reachability import reject_and_resample
+            tight = params["agent"]["tight"]
+            Bd_norm = float(np.sqrt(data.P_term[1][1]))
+            var_eps = (float(tight["dyn_eps"]) + float(tight["w_bound"])) \
+                * Bd_norm
+            fb = ({"K": data.K_fb, "x_eq": data.goal}
+                  if spec.use_feedback else None)
+            self._reject = jax.jit(
+                lambda gp, X, U, xn, key: reject_and_resample(
+                    spec, env, self.hyp, gp, X, U, xn,
+                    jnp.asarray(data.ci, self.dtype), key, var_eps,
+                    use_feedback=fb))
+            self._reject_key = jax.random.PRNGKey(spec.seed + 1)
+
     def run(self, x0: Optional[np.ndarray] = None):
         """Full closed loop (ref: src/DEMPC.py:39-80). Returns trajectories."""
         spec = self.spec
@@ -81,6 +96,10 @@ class DEMPC:
                                      np.asarray(U), dt_solve, self)
 
             x_curr = x_next.reshape(-1)
+            if spec.dynamics_rejection:
+                self._reject_key, sub = jax.random.split(self._reject_key)
+                self.gp_state, n_alive = self._reject(
+                    self.gp_state, X, U, x_curr, sub)
             if spec.shift_soln:
                 X, U = shift_solution(spec, X, U)
 
