@@ -33,7 +33,7 @@ class QPSolution(NamedTuple):
     gap: jnp.ndarray
 
 
-def solve_qp(P, q, C, d, tol: float = 1e-8, max_iter: int = 50,
+def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
              axis_name=None) -> QPSolution:
     """Solve min 0.5 z'Pz + q'z s.t. Cz <= d.
 
@@ -50,6 +50,8 @@ def solve_qp(P, q, C, d, tol: float = 1e-8, max_iter: int = 50,
     """
     nz = q.shape[0]
     dtype = q.dtype
+    if tol is None:
+        tol = 1e-8 if dtype == jnp.float64 else 3e-5
     eye = jnp.eye(nz, dtype=dtype)
 
     if axis_name is None:
