@@ -139,6 +139,186 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     return QPSolution(z=z, lam=lam, s=s, iters=it, status=status, gap=res)
 
 
+def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
+                  tol: float = None, max_iter: int = 50,
+                  axis_name=None) -> QPSolution:
+    """Structured PDIP with analytic slack elimination (HPIPM-style).
+
+    Solves   min_u  0.5 u'Hu + g'u + sum_j [zl sl + 0.5 Zl sl^2
+                                            + zu su + 0.5 Zu su^2]
+             s.t.   G_h u <= d_h                       (hard rows)
+                    lo_j - sl_j <= G_s u <= hi_j + su_j,  sl, su >= 0
+
+    The slack blocks of the Newton KKT system are diagonal, so each soft
+    row folds into a scalar *effective weight* on its u-row and the dense
+    solve stays (nU, nU) — the reason HPIPM handles thousands of soft rows
+    cheaply (ref: src/utils/ocp.py:205-215,270-287), and what the generic
+    formulation (slacks as variables) loses.
+
+    All row quantities are local under ``axis_name``; reductions mirror
+    :func:`solve_qp`.
+    """
+    nU = g.shape[0]
+    dtype = g.dtype
+    if tol is None:
+        tol = 1e-8 if dtype == jnp.float64 else 3e-5
+    eye = jnp.eye(nU, dtype=dtype)
+
+    if axis_name is None:
+        psum = lambda x: x
+        pmin = lambda x: x
+        pmax = lambda x: x
+        m_total = d_h.shape[0] + 4 * lo_s.shape[0]
+    else:
+        psum = lambda x: jax.lax.psum(x, axis_name)
+        pmin = lambda x: jax.lax.pmin(x, axis_name)
+        pmax = lambda x: jax.lax.pmax(x, axis_name)
+        m_total = (d_h.shape[0] + 4 * lo_s.shape[0]) * jax.lax.psum(
+            1, axis_name)
+
+    m_s = lo_s.shape[0]
+    qscale = 1.0 + jnp.max(jnp.abs(g)) + (jnp.max(zl, initial=0.0)
+                                          if m_s else 0.0)
+
+    def kkt_residual(st):
+        u, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
+        r1 = H @ u + g + psum(G_h.T @ lh_ + G_s.T @ (lU - lL))
+        r_stat = jnp.max(jnp.abs(r1)) / qscale
+        rp = jnp.concatenate([
+            G_h @ u + th - d_h,
+            G_s @ u - su + tU - hi_s,
+            -(G_s @ u) - sl + tL + lo_s,
+        ]) if m_s else (G_h @ u + th - d_h)
+        r_prim = pmax(jnp.max(jnp.abs(rp), initial=0.0))
+        compl = psum(jnp.dot(th, lh_) + jnp.dot(tU, lU) + jnp.dot(tL, lL)
+                     + jnp.dot(sl, nl) + jnp.dot(su, nu_))
+        return jnp.maximum(jnp.maximum(r_stat, r_prim),
+                           compl / (m_total * qscale))
+
+    def max_step(pairs):
+        a = jnp.asarray(1.0, dtype)
+        for v, dv in pairs:
+            if v.shape[0] == 0:
+                continue
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0),
+                              jnp.inf)
+            a = jnp.minimum(a, jnp.min(ratio, initial=jnp.inf))
+        return 0.99 * pmin(a)
+
+    def newton(st, sig_mu, corr):
+        u, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
+        (ch, cU, cL, cPl, cPu) = corr if corr is not None else (0., 0., 0., 0., 0.)
+
+        w_h = lh_ / th
+        b_h = (lh_ * th - sig_mu + ch) / th
+        rp_h = G_h @ u + th - d_h
+        r1 = H @ u + g + psum(G_h.T @ lh_ + G_s.T @ (lU - lL))
+
+        if m_s:
+            w_U, w_L = lU / tU, lL / tL
+            w_Pl, w_Pu = nl / sl, nu_ / su
+            b_U = (lU * tU - sig_mu + cU) / tU
+            b_L = (lL * tL - sig_mu + cL) / tL
+            b_Pl = (nl * sl - sig_mu + cPl) / sl
+            b_Pu = (nu_ * su - sig_mu + cPu) / su
+            rp_U = G_s @ u - su + tU - hi_s
+            rp_L = -(G_s @ u) - sl + tL + lo_s
+            r2 = Zl * sl + zl - lL - nl
+            r3 = Zu * su + zu - lU - nu_
+
+            Dl = Zl + w_L + w_Pl
+            Du = Zu + w_U + w_Pu
+            cl = -r2 - b_L - b_Pl + w_L * rp_L
+            cu = -r3 - b_U - b_Pu + w_U * rp_U
+            w_eff = w_U + w_L - w_U * w_U / Du - w_L * w_L / Dl
+            const_s = (-b_U + b_L + w_U * rp_U - w_L * rp_L
+                       - w_U * cu / Du + w_L * cl / Dl)
+            M_s = psum((G_s.T * w_eff) @ G_s)
+            rhs_s = psum(G_s.T @ const_s)
+        else:
+            M_s = 0.0
+            rhs_s = 0.0
+
+        M = H + psum((G_h.T * w_h) @ G_h) + M_s
+        rhs = -r1 + psum(G_h.T @ (b_h - w_h * rp_h)) - rhs_s
+        L = jnp.linalg.cholesky(M + 1e-13 * eye)
+        du = jax.scipy.linalg.cho_solve((L, True), rhs)
+
+        dth = -(G_h @ du) - rp_h
+        dlh = -b_h - w_h * dth
+        if m_s:
+            dsl = (cl - w_L * (G_s @ du)) / Dl
+            dsu = (cu + w_U * (G_s @ du)) / Du
+            dtU = -(G_s @ du) + dsu - rp_U
+            dtL = (G_s @ du) + dsl - rp_L
+            dlU = -b_U - w_U * dtU
+            dlL = -b_L - w_L * dtL
+            dnl = -b_Pl - w_Pl * dsl
+            dnu = -b_Pu - w_Pu * dsu
+        else:
+            z = jnp.zeros((0,), dtype)
+            dsl = dsu = dtU = dlU = dtL = dlL = dnl = dnu = z
+        return (du, dsl, dsu, dth, dlh, dtU, dlU, dtL, dlL, dnl, dnu)
+
+    # central-path initialization (s * lam = 1 on every pair)
+    u0 = jnp.zeros(nU, dtype)
+    th0 = jnp.maximum(d_h, 1.0)
+    one_s = jnp.ones((m_s,), dtype)
+    tU0 = jnp.maximum(hi_s - 0.0 + 1.0, 1.0) if m_s else one_s[:0]
+    tL0 = jnp.maximum(-lo_s + 1.0, 1.0) if m_s else one_s[:0]
+    st0 = (u0, one_s, one_s, th0, 1.0 / th0, tU0, 1.0 / tU0, tL0, 1.0 / tL0,
+           one_s, one_s)
+
+    def compl_sum(st):
+        _, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
+        return psum(jnp.dot(th, lh_) + jnp.dot(tU, lU) + jnp.dot(tL, lL)
+                    + jnp.dot(sl, nl) + jnp.dot(su, nu_))
+
+    def add(st, d, a):
+        return tuple(v + a * dv for v, dv in zip(st, d))
+
+    def pairs(st, d):
+        # every (nonneg variable, its delta) pair that limits the step
+        idx = [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 6), (7, 7), (8, 8),
+               (9, 9), (10, 10)]
+        return [(st[i], d[j]) for i, j in idx]
+
+    def body(carry):
+        st, it, _ = carry
+        mu = compl_sum(st) / m_total
+        d_aff = newton(st, 0.0, None)
+        a_aff = max_step(pairs(st, d_aff))
+        st_aff = add(st, d_aff, a_aff)
+        mu_aff = compl_sum(st_aff) / m_total
+        sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+        # corr order: (h, U, L, Pl, Pu) = (dlh*dth, dlU*dtU, dlL*dtL,
+        #              dnl*dsl, dnu*dsu)
+        corr = (d_aff[4] * d_aff[3], d_aff[6] * d_aff[5], d_aff[8] * d_aff[7],
+                d_aff[9] * d_aff[1], d_aff[10] * d_aff[2])
+        d = newton(st, sigma * mu, corr)
+        alpha = max_step(pairs(st, d))
+        st_n = add(st, d, alpha)
+        ok = jnp.asarray(True)
+        for v in st_n:
+            ok = ok & jnp.all(jnp.isfinite(v))
+        ok = pmin(ok.astype(jnp.int32)) > 0
+        st = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), st_n, st)
+        res = jnp.where(ok, kkt_residual(st), -jnp.inf)
+        return st, it + 1, res
+
+    def cond(carry):
+        _, it, res = carry
+        return (it < max_iter) & (res > tol)
+
+    st, it, _ = jax.lax.while_loop(
+        cond, body, (st0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype)))
+    res = kkt_residual(st)
+    status = jnp.where(res <= jnp.asarray(tol, dtype) * 1e3, 0, 4)
+    return QPSolution(z=st[0], lam=st[4], s=st[3], iters=it, status=status,
+                      gap=res)
+
+
 def boxes_to_rows(Gl, lo, hi):
     """Turn two-sided rows lo <= Gl z <= hi into canonical Cz <= d.
 

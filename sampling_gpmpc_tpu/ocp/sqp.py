@@ -28,10 +28,10 @@ from sampling_gpmpc_tpu.agent import GPState
 from sampling_gpmpc_tpu.config import ProblemSpec
 from sampling_gpmpc_tpu.envs.base import Env
 from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
-from sampling_gpmpc_tpu.ocp.assemble import (assemble_canonical, build_cost,
-                                             build_hard_rows, build_soft_rows)
+from sampling_gpmpc_tpu.ocp.assemble import (build_cost, build_hard_rows,
+                                             build_soft_rows)
 from sampling_gpmpc_tpu.ocp.condense import condense
-from sampling_gpmpc_tpu.ocp.qp import solve_qp
+from sampling_gpmpc_tpu.ocp.qp import boxes_to_rows, solve_qp_soft
 from sampling_gpmpc_tpu.ocp.spec import OCPData
 
 
@@ -96,9 +96,10 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
 
     H_U, g_U = build_cost(spec, ocp, T, Gamma, X, U, axis_name=axis_name)
     hard = build_hard_rows(spec, ocp, T, Gamma, X, U)
-    soft, penalties = build_soft_rows(spec, ocp, T, Gamma, X)
-    P, q, C, d = assemble_canonical(H_U, g_U, hard, soft, penalties)
-    sol = solve_qp(P, q, C, d, axis_name=axis_name)
+    soft, (zl, zu, Zl, Zu) = build_soft_rows(spec, ocp, T, Gamma, X)
+    C_h, d_h = boxes_to_rows(hard.G, hard.lo, hard.hi)
+    sol = solve_qp_soft(H_U, g_U, C_h, d_h, soft.G, soft.lo, soft.hi,
+                        zl, zu, Zl, Zu, axis_name=axis_name)
 
     dU = sol.z[:H * nu]
     dX = T + jnp.einsum("ikau,u->ika", Gamma, dU)           # (ns, H+1, nx)

@@ -1,0 +1,150 @@
+"""Visualization: trajectory plots, reachable-set ellipses, videos.
+
+Counterpart of the reference Visualizer's plotting surface
+(ref: src/visu.py:15-530): receding-horizon sample fans, reachable-set
+ellipse overlays computed from (P, tilde_eps), per-sample spread boxes,
+environment drawing (obstacle ellipses, car box), and frame-by-frame video
+writing from a recorded data.pkl artifact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib.patches import Ellipse  # noqa: E402
+
+
+def _sample_states(X_flat: np.ndarray, nx: int) -> np.ndarray:
+    """(H+1, ns*nx) reference layout -> (H+1, ns, nx)."""
+    H1 = X_flat.shape[0]
+    return X_flat.reshape(H1, -1, nx)
+
+
+def plot_receding_traj(ax, X_flat, nx: int, dims=(0, 1), color="steelblue",
+                       alpha=0.25):
+    """Fan of per-sample planned trajectories (ref: src/visu.py:319-378)."""
+    X = _sample_states(np.asarray(X_flat), nx)
+    for i in range(X.shape[1]):
+        ax.plot(X[:, i, dims[0]], X[:, i, dims[1]], color=color, alpha=alpha,
+                linewidth=0.8)
+    ax.plot(X[:, 0, dims[0]], X[:, 0, dims[1]], color="navy", linewidth=1.2)
+
+
+def plot_reachable_ellipses(ax, X_flat, nx: int, P: np.ndarray,
+                            tilde_eps: np.ndarray, dims=(0, 1),
+                            color="tomato"):
+    """Per-stage reachability ellipses {x : (x-c)'P(x-c) <= eps^2} around the
+    first sample's plan (ref: src/visu.py:390-421)."""
+    X = _sample_states(np.asarray(X_flat), nx)
+    P2 = np.asarray(P)[np.ix_(dims, dims)]
+    evals, evecs = np.linalg.eigh(np.linalg.inv(P2))
+    angle = np.degrees(np.arctan2(evecs[1, 0], evecs[0, 0]))
+    for k in range(X.shape[0]):
+        eps = float(np.asarray(tilde_eps)[k][-1]) if k < len(tilde_eps) else 0
+        if eps <= 0:
+            continue
+        width, height = 2 * eps * np.sqrt(evals)
+        ax.add_patch(Ellipse(
+            (X[k, 0, dims[0]], X[k, 0, dims[1]]), width, height, angle=angle,
+            fill=False, edgecolor=color, linewidth=0.7, alpha=0.8))
+
+
+def plot_sample_boxes(ax, X_flat, nx: int, dims=(0, 1), color="seagreen"):
+    """Axis-aligned per-stage spread boxes over samples
+    (ref: src/visu.py:423-441)."""
+    X = _sample_states(np.asarray(X_flat), nx)
+    lo = X.min(axis=1)
+    hi = X.max(axis=1)
+    for k in range(X.shape[0]):
+        ax.add_patch(plt.Rectangle(
+            (lo[k, dims[0]], lo[k, dims[1]]),
+            hi[k, dims[0]] - lo[k, dims[0]], hi[k, dims[1]] - lo[k, dims[1]],
+            fill=False, edgecolor=color, linewidth=0.6, alpha=0.7))
+
+
+def draw_environment(ax, params: dict):
+    """Obstacle ellipses + bounds (ref: src/visu.py:259-317)."""
+    env = params.get("env", {})
+    for name, e in (env.get("ellipses", {}) or {}).items():
+        x0, y0, a, b, f = e
+        ax.add_patch(Ellipse((x0, y0), 2 * np.sqrt(a * f), 2 * np.sqrt(b * f),
+                             facecolor="lightgray", edgecolor="dimgray"))
+    opt = params.get("optimizer", {})
+    if "x_min" in opt:
+        ax.axhline(opt["x_min"][1], color="k", linewidth=0.5, alpha=0.4)
+        ax.axhline(opt["x_max"][1], color="k", linewidth=0.5, alpha=0.4)
+
+
+def draw_car(ax, state, length=2.8, width=1.4, color="crimson"):
+    """Oriented car rectangle at (x, y, phi) (ref: src/visu.py:259-290)."""
+    x, y, phi = state[0], state[1], state[2]
+    corners = np.array([[-length / 2, -width / 2], [length / 2, -width / 2],
+                        [length / 2, width / 2], [-length / 2, width / 2]])
+    R = np.array([[np.cos(phi), -np.sin(phi)], [np.sin(phi), np.cos(phi)]])
+    pts = corners @ R.T + np.array([x, y])
+    ax.add_patch(plt.Polygon(pts, closed=True, facecolor=color, alpha=0.8))
+
+
+def render_run(data: dict, params: dict, out_dir: str,
+               tilde_eps=None, P=None, video: bool = False,
+               fname: str = "trajectory.png"):
+    """Render a recorded run: closed-loop path + per-step plan fans.
+
+    Args:
+        data: dict loaded from data.pkl (Recorder.load).
+        video: additionally write video_gp.mp4 frame-by-frame when an
+            FFMpeg writer is available (ref: visu_main.py:116-212).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    nx = params["agent"]["dim"]["nx"]
+    dyn = params["env"]["dynamics"]
+    dims = (0, 1)
+
+    fig, ax = plt.subplots(figsize=(10, 5) if "bicycle" in dyn else (6, 6))
+    draw_environment(ax, params)
+    for X_flat in data["state_traj"]:
+        plot_receding_traj(ax, X_flat, nx, dims)
+        if tilde_eps is not None and P is not None:
+            plot_reachable_ellipses(ax, X_flat, nx, P, tilde_eps, dims)
+    phys = np.stack([np.asarray(p).reshape(-1, nx)[0]
+                     for p in data["physical_state_traj"]])
+    ax.plot(phys[:, dims[0]], phys[:, dims[1]], "k.-", linewidth=1.5,
+            label="closed loop")
+    ax.set_xlabel(f"x[{dims[0]}]")
+    ax.set_ylabel(f"x[{dims[1]}]")
+    ax.legend()
+    path = os.path.join(out_dir, fname)
+    fig.savefig(path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+
+    if video:
+        _render_video(data, params, out_dir, nx, dims, tilde_eps, P)
+    return path
+
+
+def _render_video(data, params, out_dir, nx, dims, tilde_eps, P):
+    import matplotlib.animation as manimation
+    try:
+        writer = manimation.FFMpegWriter(fps=5)
+    except Exception:  # ffmpeg missing: skip silently like a soft dep
+        return None
+    fig, ax = plt.subplots()
+    out = os.path.join(out_dir, "video_gp.mp4")
+    with writer.saving(fig, out, dpi=150):
+        for X_flat in data["state_traj"]:
+            ax.clear()
+            draw_environment(ax, params)
+            plot_receding_traj(ax, X_flat, nx, dims)
+            if tilde_eps is not None and P is not None:
+                plot_reachable_ellipses(ax, X_flat, nx, P, tilde_eps, dims)
+            if "bicycle" in params["env"]["dynamics"]:
+                draw_car(ax, np.asarray(X_flat)[0, :nx])
+            writer.grab_frame()
+    plt.close(fig)
+    return out

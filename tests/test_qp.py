@@ -93,3 +93,75 @@ def test_qp_active_box():
                          jnp.asarray([1.0, 1.0]))
     sol = solve_qp(jnp.asarray(P), jnp.asarray(q), C, d)
     np.testing.assert_allclose(np.asarray(sol.z), [1.0, -0.3], atol=1e-7)
+
+
+def _soft_oracle(H, g, G_h, d_h, G_s, lo, hi, zl, zu, Zl, Zu):
+    """Generic-formulation oracle: slacks as explicit variables via SLSQP."""
+    nU = g.shape[0]
+    m = lo.shape[0]
+
+    def unpack(z):
+        return z[:nU], z[nU:nU + m], z[nU + m:]
+
+    def f(z):
+        u, sl, su = unpack(z)
+        return (0.5 * u @ H @ u + g @ u + zl @ sl + 0.5 * sl @ (Zl * sl)
+                + zu @ su + 0.5 * su @ (Zu * su))
+
+    cons = [
+        {"type": "ineq", "fun": lambda z: d_h - G_h @ unpack(z)[0]},
+        {"type": "ineq",
+         "fun": lambda z: hi + unpack(z)[2] - G_s @ unpack(z)[0]},
+        {"type": "ineq",
+         "fun": lambda z: G_s @ unpack(z)[0] + unpack(z)[1] - lo},
+        {"type": "ineq", "fun": lambda z: unpack(z)[1]},
+        {"type": "ineq", "fun": lambda z: unpack(z)[2]},
+    ]
+    res = scipy.optimize.minimize(f, np.zeros(nU + 2 * m), constraints=cons,
+                                  method="SLSQP",
+                                  options={"maxiter": 500, "ftol": 1e-12})
+    return res.x[:nU]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_soft_qp_matches_oracle(seed):
+    from sampling_gpmpc_tpu.ocp.qp import solve_qp_soft
+    rng = np.random.default_rng(seed)
+    nU, mh, ms = 6, 10, 5
+    Hh = rng.normal(size=(nU, nU))
+    H = Hh @ Hh.T + np.eye(nU)
+    g = rng.normal(size=nU) * 3
+    G_h = rng.normal(size=(mh, nU))
+    d_h = rng.uniform(0.1, 1.5, size=mh)
+    G_s = rng.normal(size=(ms, nU))
+    lo = rng.uniform(-0.5, -0.1, size=ms)
+    hi = rng.uniform(0.05, 0.3, size=ms)   # tight: slacks get used
+    zl = np.full(ms, 3.0)
+    zu = np.full(ms, 2.0)
+    Zl = np.full(ms, 5.0)
+    Zu = np.full(ms, 4.0)
+
+    sol = solve_qp_soft(*map(jnp.asarray, (H, g, G_h, d_h, G_s, lo, hi,
+                                           zl, zu, Zl, Zu)))
+    u_ref = _soft_oracle(H, g, G_h, d_h, G_s, lo, hi, zl, zu, Zl, Zu)
+    assert int(sol.status) == 0, float(sol.gap)
+    np.testing.assert_allclose(np.asarray(sol.z), u_ref, atol=2e-5)
+
+
+def test_soft_qp_no_soft_rows_matches_hard():
+    from sampling_gpmpc_tpu.ocp.qp import solve_qp_soft
+    rng = np.random.default_rng(7)
+    nU, mh = 5, 12
+    H = np.eye(nU) * 2
+    g = rng.normal(size=nU)
+    G_h = rng.normal(size=(mh, nU))
+    d_h = rng.uniform(0.1, 1.0, size=mh)
+    empty = np.zeros((0,))
+    sol = solve_qp_soft(
+        jnp.asarray(H), jnp.asarray(g), jnp.asarray(G_h), jnp.asarray(d_h),
+        jnp.zeros((0, nU)), empty, empty, empty, empty, empty, empty)
+    ref = solve_qp(jnp.asarray(H), jnp.asarray(g), jnp.asarray(G_h),
+                   jnp.asarray(d_h))
+    assert int(sol.status) == 0
+    np.testing.assert_allclose(np.asarray(sol.z), np.asarray(ref.z),
+                               atol=1e-6)

@@ -1,0 +1,56 @@
+"""Visualization CLI: replay a recorded data.pkl into figures/video.
+
+Counterpart of the reference visu_main.py: loads the artifact, recomputes
+velocity-dependent tightenings for the residual car, renders the
+trajectory figure and (optionally) a frame-by-frame video.
+
+Usage:
+    python visu_main.py -param params_pendulum1D_samples -env 0 -i 42 [--video]
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-param", default="params_pendulum1D_samples")
+    parser.add_argument("-env", type=int, default=0)
+    parser.add_argument("-i", type=int, default=42)
+    parser.add_argument("--video", action="store_true")
+    args = parser.parse_args()
+
+    from sampling_gpmpc_tpu.config import load_problem
+    from sampling_gpmpc_tpu.recorder import Recorder
+    from sampling_gpmpc_tpu.tightening import reachable_set_ball
+    from sampling_gpmpc_tpu.visu import render_run
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    params, spec, data = load_problem(
+        os.path.join(here, "params", args.param + ".yaml"))
+    run_dir = os.path.join(
+        here, "experiments", params["experiment"]["folder"],
+        f"env_{args.env}", args.param, str(args.i))
+    rec = Recorder.load(os.path.join(run_dir, "data.pkl"))
+
+    tilde_eps, P = None, None
+    if spec.use_tightening and data.P_term is not None:
+        P = data.P_term
+        if spec.env_name == "bicycle_Bdx":
+            # recompute with the realized velocity profile
+            # (ref: visu_main.py:71-75)
+            X0 = np.asarray(rec["state_traj"][0]).reshape(spec.H + 1, -1,
+                                                          spec.nx)
+            tilde_eps, _ = reachable_set_ball(params, X0[:, 0, 3])
+        else:
+            tilde_eps = data.tilde_eps
+
+    path = render_run(rec, params, run_dir, tilde_eps=tilde_eps, P=P,
+                      video=args.video)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
