@@ -83,11 +83,14 @@ def build_hard_rows(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar) -> Ro
     rows_lo.append((ocp.u_lo[None] - Ubar).reshape(nU))
     rows_hi.append((ocp.u_hi[None] - Ubar).reshape(nU))
 
-    # per-sample state box, stages 1..H (acados lbx/ubx + tightened h-rows)
-    Gx = Gamma[:, 1:].reshape(ns * H * nx, nU)
-    rows_G.append(Gx)
-    rows_lo.append((ocp.x_lo[None, 1:] - xpred[:, 1:]).reshape(-1))
-    rows_hi.append((ocp.x_hi[None, 1:] - xpred[:, 1:]).reshape(-1))
+    # per-sample state box, stages 1..H (acados lbx/ubx + tightened h-rows);
+    # with ellipse obstacles present the box is soft (idxsbx) and emitted by
+    # build_soft_rows instead (ref: src/utils/ocp.py:270-287)
+    if spec.n_ellipses == 0:
+        Gx = Gamma[:, 1:].reshape(ns * H * nx, nU)
+        rows_G.append(Gx)
+        rows_lo.append((ocp.x_lo[None, 1:] - xpred[:, 1:]).reshape(-1))
+        rows_hi.append((ocp.x_hi[None, 1:] - xpred[:, 1:]).reshape(-1))
 
     if spec.use_feedback:
         # realized input u_fb = -K(x_eq - x_i,k) + u_k, stages 0..H-1

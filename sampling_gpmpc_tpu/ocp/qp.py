@@ -140,7 +140,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
 
 
 def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
-                  tol: float = None, max_iter: int = 50,
+                  tol: float = None, max_iter: int = 150,
                   axis_name=None) -> QPSolution:
     """Structured PDIP with analytic slack elimination (HPIPM-style).
 
@@ -163,6 +163,22 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     if tol is None:
         tol = 1e-8 if dtype == jnp.float64 else 3e-5
     eye = jnp.eye(nU, dtype=dtype)
+
+    # row equilibration: condensed rows span several orders of magnitude
+    # (long-horizon Gamma growth); normalize every row to unit inf-norm.
+    # Soft-row scaling by a also rescales the slacks (s' = s/a), so the
+    # penalties transform as z' = z*a, Z' = Z*a^2 — an equivalent problem.
+    scale_h = jnp.maximum(jnp.max(jnp.abs(G_h), axis=1), 1e-10)
+    G_h = G_h / scale_h[:, None]
+    d_h = d_h / scale_h
+    scale_s = jnp.maximum(jnp.max(jnp.abs(G_s), axis=1), 1e-10)
+    G_s = G_s / scale_s[:, None]
+    lo_s = lo_s / scale_s
+    hi_s = hi_s / scale_s
+    zl = zl * scale_s
+    zu = zu * scale_s
+    Zl = Zl * scale_s * scale_s
+    Zu = Zu * scale_s * scale_s
 
     if axis_name is None:
         psum = lambda x: x
@@ -260,14 +276,17 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
             dsl = dsu = dtU = dlU = dtL = dlL = dnl = dnu = z
         return (du, dsl, dsu, dth, dlh, dtU, dlU, dtL, dlL, dnl, dnu)
 
-    # central-path initialization (s * lam = 1 on every pair)
+    # central-path initialization at the problem's dual scale:
+    # s * lam = mu0 ~ |g| on every pair (unit complementarity leaves the
+    # first iterations fighting a huge dual residual with tiny steps)
+    mu0 = qscale
     u0 = jnp.zeros(nU, dtype)
     th0 = jnp.maximum(d_h, 1.0)
     one_s = jnp.ones((m_s,), dtype)
     tU0 = jnp.maximum(hi_s - 0.0 + 1.0, 1.0) if m_s else one_s[:0]
     tL0 = jnp.maximum(-lo_s + 1.0, 1.0) if m_s else one_s[:0]
-    st0 = (u0, one_s, one_s, th0, 1.0 / th0, tU0, 1.0 / tU0, tL0, 1.0 / tL0,
-           one_s, one_s)
+    st0 = (u0, one_s, one_s, th0, mu0 / th0, tU0, mu0 / tU0, tL0, mu0 / tL0,
+           mu0 * one_s, mu0 * one_s)
 
     def compl_sum(st):
         _, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
@@ -284,7 +303,7 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         return [(st[i], d[j]) for i, j in idx]
 
     def body(carry):
-        st, it, _ = carry
+        st, best, best_res, it, _ = carry
         mu = compl_sum(st) / m_total
         d_aff = newton(st, 0.0, None)
         a_aff = max_step(pairs(st, d_aff))
@@ -304,19 +323,28 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         ok = pmin(ok.astype(jnp.int32)) > 0
         st = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), st_n, st)
-        res = jnp.where(ok, kkt_residual(st), -jnp.inf)
-        return st, it + 1, res
+        res = jnp.where(ok, kkt_residual(st), jnp.inf)
+        # keep the best-residual iterate: late iterations with exhausted
+        # complementarity can degrade the dual residual numerically
+        improved = res < best_res
+        best = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old), st, best)
+        best_res = jnp.minimum(res, best_res)
+        mu_new = compl_sum(st) / m_total
+        live = ok & (mu_new > 1e-14 * mu0)
+        res_flag = jnp.where(live, best_res, -jnp.inf)   # -inf => exit
+        return st, best, best_res, it + 1, res_flag
 
     def cond(carry):
-        _, it, res = carry
+        _, _, _, it, res = carry
         return (it < max_iter) & (res > tol)
 
-    st, it, _ = jax.lax.while_loop(
-        cond, body, (st0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype)))
-    res = kkt_residual(st)
-    status = jnp.where(res <= jnp.asarray(tol, dtype) * 1e3, 0, 4)
-    return QPSolution(z=st[0], lam=st[4], s=st[3], iters=it, status=status,
-                      gap=res)
+    _, best, best_res, it, _ = jax.lax.while_loop(
+        cond, body, (st0, st0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0),
+                     jnp.asarray(jnp.inf, dtype)))
+    status = jnp.where(best_res <= jnp.asarray(tol, dtype) * 1e3, 0, 4)
+    return QPSolution(z=best[0], lam=best[4], s=best[3], iters=it,
+                      status=status, gap=best_res)
 
 
 def boxes_to_rows(Gl, lo, hi):
