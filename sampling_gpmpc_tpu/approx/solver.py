@@ -1,0 +1,209 @@
+"""Approximate sampling-based MPC: nominal model + sampled tightenings.
+
+Instead of the augmented multi-sample OCP, solve a *single* nominal MPC
+(BLR mean-weight dynamics) whose constraints are tightened per stage by
+the spread of sampled-weight trajectory rollouts:
+
+    Delta_k = max_n | x_k^n - x_k^mu |        (per state dimension)
+
+(ref: extra/approx_sampling_mpc/README.md, src/solver.py:77-135,215-400).
+The path-tracking cost follows a per-stage reference (heart curve), the
+obstacle circles are tightened by ||Delta_k[:2]|| and the terminal
+(vx, vy) set is an ellipse.  Built on the same condensing + structured
+PDIP machinery as the main solver.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sampling_gpmpc_tpu.approx import blr
+from sampling_gpmpc_tpu.approx.drone import DroneModel
+from sampling_gpmpc_tpu.ocp.condense import condense_single
+from sampling_gpmpc_tpu.ocp.qp import boxes_to_rows, solve_qp_soft
+
+
+class ApproxMPC:
+    def __init__(self, params: dict, dtype=jnp.float64):
+        self.params = params
+        self.dtype = dtype
+        self.model = DroneModel(params)
+        self.feats = self.model.features()
+        self.step_fn, self.val_jac_fn = blr.make_dynamics(self.feats,
+                                                          self.model.nx)
+        opt = params["optimizer"]
+        ag = params["agent"]
+        self.H = opt["H"]
+        self.nx, self.nu = self.model.nx, self.model.nu
+        self.max_sqp_iter = opt["SEMPC"]["max_sqp_iter"]
+        self.lm = float(opt["options"]["levenberg_marquardt"])
+        self.n_tight = int(ag.get("num_samples_tightening", 100))
+        self.Qx = jnp.asarray(np.diag(opt["Qx"]), dtype)      # on (px, py)
+        self.Qu = jnp.asarray(np.diag(opt["Qu"]), dtype)
+        self.x_min = jnp.asarray(opt["x_min"], dtype)
+        self.x_max = jnp.asarray(opt["x_max"], dtype)
+        self.u_min = jnp.asarray(opt["u_min"], dtype)
+        self.u_max = jnp.asarray(opt["u_max"], dtype)
+        self.obstacles = jnp.asarray(self.model.obstacles(), dtype)
+        tt = opt["terminal_tightening"]
+        self.P_term = jnp.asarray(tt["P"], dtype)             # on (vx, vy)
+        self.delta = float(tt["delta"])
+        self.x_term = jnp.asarray(params["env"]["terminate_state"], dtype)
+
+        # BLR posterior over the fixed prior dataset
+        X, Y = self.model.training_grid()
+        self.post = blr.fit(self.feats, X, Y,
+                            float(ag["BLR"]["lambda_reg"]),
+                            float(ag["BLR"]["noise_var"]), dtype)
+        run = ag.get("run", {})
+        if run.get("true_param_as_sample", False):
+            W = self._pad_weights(self.model.gt_weights())
+        else:
+            # nominal = posterior mean (ref mean_as_dyn_sample=True path)
+            W = self.post.mu
+        self.W_nominal = W
+
+        self._solve = jax.jit(self._sqp_solve)
+        self._tighten = jax.jit(self._tightening)
+        self._plant = jax.jit(
+            lambda x, u: self.model.discrete_dyn(x, u))
+
+    def _pad_weights(self, w_list):
+        F = self.post.mu.shape[1]
+        W = np.zeros((self.nx, F))
+        for j, w in enumerate(w_list):
+            W[j, :len(w)] = w
+        return jnp.asarray(W, self.dtype)
+
+    def _tightening(self, x0, U, key):
+        """Delta_k = max_n |x^n_k - x^mu_k| (ref: solver.py:84-135)."""
+        Ws = blr.sample_weights(self.post, key, self.n_tight)
+        X_mu = blr.rollout(self.step_fn, x0, U, self.W_nominal)
+        X_s = jax.vmap(lambda W: blr.rollout(self.step_fn, x0, U, W))(Ws)
+        return jnp.max(jnp.abs(X_s - X_mu[None]), axis=0)     # (H+1, nx)
+
+    def _sqp_iteration(self, x0, X, U, wpath, delta):
+        H, nx, nu = self.H, self.nx, self.nu
+        nU = H * nu
+        dtype = self.dtype
+
+        vj = jax.vmap(lambda x, u: self.val_jac_fn(x, u, self.W_nominal))(
+            X[:H], U)
+        val = vj[:, :, 0]
+        A = vj[:, :, 1:1 + nx]
+        B = vj[:, :, 1 + nx:]
+        r = val - X[1:]
+        T, Gamma = condense_single(A, B, r, x0 - X[0])
+
+        # cost: track the path on (px, py) per stage incl. terminal + u cost
+        Qfull = jnp.zeros((nx, nx), dtype).at[:2, :2].set(self.Qx)
+        xref = jnp.zeros((H + 1, nx), dtype).at[:, :2].set(wpath)
+        Hx = 2.0 * Qfull[None] + self.lm * jnp.eye(nx, dtype=dtype)[None]
+        xerr = X + T - xref
+        grad_x = 2.0 * jnp.einsum("ab,kb->ka", Qfull, xerr) + self.lm * T
+        H_U = jnp.einsum("kau,kab,kbv->uv", Gamma, Hx, Gamma)
+        g_U = jnp.einsum("kau,ka->u", Gamma, grad_x)
+        Hu = 2.0 * self.Qu + self.lm * jnp.eye(nu, dtype=dtype)
+        H_U = H_U + jnp.kron(jnp.eye(H, dtype=dtype), Hu)
+        g_U = g_U + (2.0 * U @ self.Qu).reshape(nU)
+
+        xpred = X + T
+        rows_G, rows_lo, rows_hi = [], [], []
+        # input box
+        sel = jnp.eye(nU, dtype=dtype)
+        rows_G.append(sel)
+        rows_lo.append((self.u_min[None] - U).reshape(nU))
+        rows_hi.append((self.u_max[None] - U).reshape(nU))
+        # tightened state box stages 1..H
+        rows_G.append(Gamma[1:].reshape(H * nx, nU))
+        rows_lo.append((self.x_min[None] + delta[1:] - xpred[1:]).reshape(-1))
+        rows_hi.append((self.x_max[None] - delta[1:] - xpred[1:]).reshape(-1))
+        # terminal (vx, vy) ellipse <= delta
+        ve = X[H, 3:5] - self.x_term
+        q0 = ve @ self.P_term @ ve
+        J = 2.0 * self.P_term @ ve                     # (2,)
+        Gt = (J[None, :] @ Gamma[H, 3:5]).reshape(1, nU)
+        const = q0 + J @ T[H, 3:5]
+        rows_G.append(Gt)
+        rows_lo.append(jnp.asarray([0.0 - const], dtype))
+        rows_hi.append(jnp.asarray([self.delta - const], dtype))
+
+        hard_G = jnp.concatenate(rows_G)
+        hard_lo = jnp.concatenate(rows_lo)
+        hard_hi = jnp.concatenate(rows_hi)
+        C_h, d_h = boxes_to_rows(hard_G, hard_lo, hard_hi)
+
+        # obstacle circles (soft, heavily penalized: the reference's hard
+        # rows rely on HPIPM surviving transient infeasibility)
+        if self.obstacles.shape[0]:
+            cx, cy, rr = (self.obstacles[:, 0], self.obstacles[:, 1],
+                          self.obstacles[:, 2])
+            pos_t = jnp.linalg.norm(delta[:, :2], axis=1)     # (H+1,)
+            px = xpred[:, 0][:, None] - cx[None]
+            py = xpred[:, 1][:, None] - cy[None]
+            q = px * px + py * py                             # (H+1, n_obs)
+            Gx = (2 * px[..., None] * Gamma[:, 0][:, None, :]
+                  + 2 * py[..., None] * Gamma[:, 1][:, None, :])
+            r_t = (rr[None] + pos_t[:, None]) ** 2
+            m = (self.H + 1) * self.obstacles.shape[0]
+            G_s = Gx.reshape(m, nU)
+            lo_s = (r_t - q).reshape(m)
+            hi_s = jnp.full((m,), 1e8, dtype)
+            pen = jnp.full((m,), 1e6, dtype)
+            Pen = jnp.full((m,), 1e6, dtype)
+        else:
+            G_s = jnp.zeros((0, nU), dtype)
+            lo_s = hi_s = pen = Pen = jnp.zeros((0,), dtype)
+
+        sol = solve_qp_soft(H_U, g_U, C_h, d_h, G_s, lo_s, hi_s,
+                            pen, pen, Pen, Pen)
+        dU = sol.z
+        dX = T + jnp.einsum("kau,u->ka", Gamma, dU)
+        return X + dX, U + dU.reshape(H, nu), sol.status
+
+    def _sqp_solve(self, x0, X, U, wpath, delta):
+        def body(i, carry):
+            X, U, status = carry
+            X, U, status = self._sqp_iteration(x0, X, U, wpath, delta)
+            return X, U, status
+
+        return jax.lax.fori_loop(0, self.max_sqp_iter, body,
+                                 (X, U, jnp.asarray(0)))
+
+    def run(self, num_iters=None, x0=None, key=None):
+        """Closed loop (ref: demo_obstacle_avoidance.py)."""
+        import time
+        num_iters = num_iters or self.params["common"]["num_MPC_itrs"]
+        key = key if key is not None else jax.random.PRNGKey(
+            self.params["experiment"]["rnd_seed"]["value"])
+        x = jnp.asarray(x0 if x0 is not None else
+                        self.params["env"]["start"], self.dtype)
+        X = jnp.broadcast_to(x[None], (self.H + 1, self.nx)).astype(self.dtype)
+        U = jnp.zeros((self.H, self.nu), self.dtype)
+
+        phys, times, plans, tight_hist = [], [], [], []
+        for m in range(num_iters):
+            wpath = jnp.asarray(self.model.path_generator(m), self.dtype)
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            delta = self._tighten(x, U, sub)
+            X, U, status = self._solve(x, X, U, wpath, delta)
+            X.block_until_ready()
+            times.append(time.perf_counter() - t0)
+
+            u0 = U[0]
+            phys.append(np.asarray(x))
+            plans.append(np.asarray(X))
+            tight_hist.append(np.asarray(delta))
+            x = self._plant(X[0], u0)
+            # warm-start shift
+            X = jnp.concatenate([X[1:], X[-1:]])
+            U = jnp.concatenate([U[1:], U[-1:]])
+
+        return {"physical_state_traj": phys, "state_traj": plans,
+                "solver_time": times, "tightenings": tight_hist,
+                "final_state": np.asarray(x), "status": int(status)}

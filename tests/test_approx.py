@@ -1,0 +1,85 @@
+"""Approximate sampling MPC (BLR + sampled tightenings) tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from sampling_gpmpc_tpu.approx import blr
+from sampling_gpmpc_tpu.approx.drone import DroneModel
+from sampling_gpmpc_tpu.approx.solver import ApproxMPC
+
+
+@pytest.fixture(scope="module")
+def params(params_dir):
+    return yaml.safe_load(open(os.path.join(
+        params_dir, "params_drone_obstacles_approx.yaml")))
+
+
+def test_blr_mean_model_predicts_true_dynamics(params):
+    """The drone dynamics are exactly linear in the features, so the ridge
+    posterior mean must reproduce the true next states — on the training
+    grid and on held-out random points.  (Raw weights are not compared:
+    the coarse phi grid {-pi, 0, pi} makes the sin(phi) feature column
+    nearly zero, leaving individual weights ill-identified, exactly as in
+    the reference's setup.)"""
+    model = DroneModel(params)
+    X, Y = model.training_grid()
+    post = blr.fit(model.features(), X, Y, 1e-7, 2e-7)
+    step, _ = blr.make_dynamics(model.features(), model.nx)
+
+    rng = np.random.default_rng(0)
+    X_val = rng.uniform(-1, 1, size=(50, 8))
+    pred = np.asarray(jax.vmap(
+        lambda z: step(z[:6], z[6:], post.mu))(jnp.asarray(X_val)))
+    truth = np.asarray(jax.vmap(
+        lambda z: model.discrete_dyn(z[:6], z[6:]))(jnp.asarray(X_val)))
+    np.testing.assert_allclose(pred, truth, atol=2e-3)
+
+
+def test_blr_dynamics_match_true_model(params):
+    model = DroneModel(params)
+    step, val_jac = blr.make_dynamics(model.features(), model.nx)
+    W = jnp.zeros((6, 6))
+    for j, w in enumerate(model.gt_weights()):
+        W = W.at[j, :len(w)].set(jnp.asarray(w))
+    x = jnp.asarray([0.3, -0.2, 0.1, 0.5, -0.4, 0.2])
+    u = jnp.asarray([1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(step(x, u, W)),
+                               np.asarray(model.discrete_dyn(x, u)),
+                               rtol=1e-12)
+    vj = val_jac(x, u, W)
+    J = jax.jacfwd(lambda z: model.discrete_dyn(z[:6], z[6:]))(
+        jnp.concatenate([x, u]))
+    np.testing.assert_allclose(np.asarray(vj[:, 1:]), np.asarray(J),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_tightening_grows_with_horizon(params):
+    mpc = ApproxMPC(params)
+    x0 = jnp.asarray(params["env"]["start"], jnp.float64)
+    U = jnp.zeros((mpc.H, mpc.nu), jnp.float64) + 2.0
+    delta = mpc._tighten(x0, U, jax.random.PRNGKey(0))
+    delta = np.asarray(delta)
+    assert delta.shape == (mpc.H + 1, mpc.nx)
+    assert np.allclose(delta[0], 0.0)
+    assert delta[1:].max() > 0
+    # uncertainty accumulates along the horizon
+    assert delta[-1].max() > delta[1].max()
+
+
+def test_closed_loop_tracks_and_avoids(params):
+    mpc = ApproxMPC(params)
+    out = mpc.run(num_iters=12)
+    assert out["status"] == 0
+    ph = np.stack(out["physical_state_traj"])
+    path = mpc.model.path_generator(0, 200)
+    # moves (tracking the path), stays in bounds, avoids obstacles
+    assert np.linalg.norm(ph[-1, :2] - ph[0, :2]) > 0.3
+    assert np.all(np.abs(ph[:, :2]) <= 5.0 + 1e-6)
+    for (cx, cy, r) in np.asarray(mpc.obstacles):
+        d = np.sqrt((ph[:, 0] - cx) ** 2 + (ph[:, 1] - cy) ** 2)
+        assert d.min() > r - 0.05, "obstacle violated in closed loop"
