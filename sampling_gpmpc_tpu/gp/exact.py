@@ -60,6 +60,20 @@ jax.tree_util.register_pytree_node(
 )
 
 
+
+def _full_precision(fn):
+    """Trace under full-f32 matmul precision: posterior covariances are
+    differences of near-equal matrices, which TPU bf16-pass matmuls wreck."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def safe_cholesky(A: jnp.ndarray, jitter: float) -> jnp.ndarray:
     """Cholesky with escalating jitter (mirrors psd_safe_cholesky).
 
@@ -90,6 +104,7 @@ def safe_cholesky(A: jnp.ndarray, jitter: float) -> jnp.ndarray:
     return L
 
 
+@_full_precision
 def condition(Z, Y, hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool):
     """Factorize the (masked) train covariance for one (sample, output).
 
@@ -113,6 +128,7 @@ def condition(Z, Y, hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool):
     return {"L": L, "alpha": alpha, "mask": m}
 
 
+@_full_precision
 def predict(Xt, Z, fact, hyp_ls, hyp_os, jitter, with_grad: bool):
     """Joint posterior over H test points x (1+D) tasks.
 
@@ -135,6 +151,7 @@ def predict(Xt, Z, fact, hyp_ls, hyp_os, jitter, with_grad: bool):
     return mean, cov
 
 
+@_full_precision
 def posterior_sample(mean, cov, eps, jitter):
     """Pathwise joint sample: mean + chol(cov) @ eps (ref: agent.py:641)."""
     L = safe_cholesky(cov, jitter)

@@ -24,6 +24,18 @@ import jax.numpy as jnp
 BIG = 1e8
 
 
+
+def _precond_cho_solve(M, rhs, eye, reg):
+    """Jacobi-preconditioned Cholesky solve: keeps f32 factorizations alive
+    when penalty-weighted rows push the Schur complement's condition number
+    past single-precision range."""
+    d = jnp.clip(jnp.diagonal(M), 1e-30)
+    inv_s = jax.lax.rsqrt(d)
+    Ms = inv_s[:, None] * M * inv_s[None, :]
+    L = jnp.linalg.cholesky(Ms + reg * eye)
+    return inv_s * jax.scipy.linalg.cho_solve((L, True), inv_s * rhs)
+
+
 class QPSolution(NamedTuple):
     z: jnp.ndarray
     lam: jnp.ndarray
@@ -33,6 +45,21 @@ class QPSolution(NamedTuple):
     gap: jnp.ndarray
 
 
+
+def _full_precision(fn):
+    """Trace the solver under full-f32 matmul precision: TPU's default
+    bf16-pass matmuls destroy the Schur complement's conditioning."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_full_precision
 def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
              axis_name=None) -> QPSolution:
     """Solve min 0.5 z'Pz + q'z s.t. Cz <= d.
@@ -52,6 +79,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     dtype = q.dtype
     if tol is None:
         tol = 1e-8 if dtype == jnp.float64 else 3e-5
+    reg = 1e-13 if dtype == jnp.float64 else 1e-7
     eye = jnp.eye(nz, dtype=dtype)
 
     if axis_name is None:
@@ -79,8 +107,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
         r_cent = lam * s - sigma_mu + ds_dlam_corr
         rhs = -r_dual + psum(C.T @ (r_cent / s - w * r_prim))
         M = P + psum((C.T * w) @ C)
-        L = jnp.linalg.cholesky(M + 1e-13 * eye)
-        dz = jax.scipy.linalg.cho_solve((L, True), rhs)
+        dz = _precond_cho_solve(M, rhs, eye, reg)
         ds = -r_prim - C @ dz
         dlam = -(r_cent + lam * ds) / s
         return dz, ds, dlam
@@ -139,6 +166,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     return QPSolution(z=z, lam=lam, s=s, iters=it, status=status, gap=res)
 
 
+@_full_precision
 def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
                   tol: float = None, max_iter: int = 150,
                   axis_name=None) -> QPSolution:
@@ -162,6 +190,7 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     dtype = g.dtype
     if tol is None:
         tol = 1e-8 if dtype == jnp.float64 else 3e-5
+    reg = 1e-13 if dtype == jnp.float64 else 1e-7
     eye = jnp.eye(nU, dtype=dtype)
 
     # row equilibration: condensed rows span several orders of magnitude
@@ -257,8 +286,7 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
 
         M = H + psum((G_h.T * w_h) @ G_h) + M_s
         rhs = -r1 + psum(G_h.T @ (b_h - w_h * rp_h)) - rhs_s
-        L = jnp.linalg.cholesky(M + 1e-13 * eye)
-        du = jax.scipy.linalg.cho_solve((L, True), rhs)
+        du = _precond_cho_solve(M, rhs, eye, reg)
 
         dth = -(G_h @ du) - rp_h
         dlh = -b_h - w_h * dth

@@ -165,3 +165,43 @@ def test_soft_qp_no_soft_rows_matches_hard():
     assert int(sol.status) == 0
     np.testing.assert_allclose(np.asarray(sol.z), np.asarray(ref.z),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_qp_matches_jax(seed):
+    """Cross-implementation check: the C++ solver and the XLA solver agree."""
+    from sampling_gpmpc_tpu.native import solve_qp_soft_native
+    from sampling_gpmpc_tpu.ocp.qp import solve_qp_soft
+    rng = np.random.default_rng(seed + 100)
+    nU, mh, ms = 8, 14, 6
+    Hh = rng.normal(size=(nU, nU))
+    H = Hh @ Hh.T + np.eye(nU)
+    g = rng.normal(size=nU) * 3
+    G_h = rng.normal(size=(mh, nU))
+    d_h = rng.uniform(0.1, 1.5, size=mh)
+    G_s = rng.normal(size=(ms, nU))
+    lo = rng.uniform(-0.5, -0.1, size=ms)
+    hi = rng.uniform(0.05, 0.3, size=ms)
+    zl = np.full(ms, 3.0); zu = np.full(ms, 2.0)
+    Zl = np.full(ms, 5.0); Zu = np.full(ms, 4.0)
+
+    u_n, gap, iters, status = solve_qp_soft_native(
+        H, g, G_h, d_h, G_s, lo, hi, zl, zu, Zl, Zu)
+    sol = solve_qp_soft(*map(jnp.asarray, (H, g, G_h, d_h, G_s, lo, hi,
+                                           zl, zu, Zl, Zu)))
+    assert status == 0 and int(sol.status) == 0
+    np.testing.assert_allclose(u_n, np.asarray(sol.z), atol=1e-5)
+
+
+def test_native_qp_on_saved_instance():
+    """The C++ solver handles the hard long-horizon car instance."""
+    import os
+    from sampling_gpmpc_tpu.native import solve_qp_soft_native
+    path = "/tmp/qp_k2.npz"
+    if not os.path.exists(path):
+        pytest.skip("saved instance not present")
+    d = np.load(path)
+    u, gap, iters, status = solve_qp_soft_native(
+        d["H"], d["g"], d["Gh"], d["dh"], d["Gs"], d["lo"], d["hi"],
+        d["zl"], d["zu"], d["Zl"], d["Zu"])
+    assert status == 0, (gap, iters)
