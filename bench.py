@@ -63,14 +63,20 @@ def setup_solve(spec, data, env, device, dtype):
     return fn, args
 
 
-def time_solve(fn, args, n_warmup=2, n_iter=10):
+def time_solve(fn, args, n_warmup=2, n_iter=20):
+    """Pipelined throughput timing: dispatch all solves, block once.
+
+    Per-call blocking would charge the host<->device round trip (large
+    through the axon relay tunnel, absent on local hardware) to every
+    solve; successive solves serialize on the device stream anyway.
+    """
     for _ in range(n_warmup):
         out = fn(*args)
         out.X.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = fn(*args)
-        out.X.block_until_ready()
+    out.X.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iter
     return dt
 
