@@ -68,3 +68,32 @@ def test_terminal_set_synthesis(pend_env):
     v_b = (x_b - data.goal) @ ts.P @ (x_b - data.goal)
     v_n = (x_n - data.goal) @ ts.P @ (x_n - data.goal)
     assert v_n < v_b
+
+
+def test_sample_complexity_calculators():
+    from sampling_gpmpc_tpu.tools.sample_complexity import (
+        epsilon_for_probability, info_beta, num_samples_for_coverage,
+        rkhs_norm, small_ball_probability)
+    rng = np.random.default_rng(0)
+    Z = rng.uniform(-1, 1, size=(20, 2))
+    y = np.sin(Z[:, 0]) * np.cos(Z[:, 1])
+    grid = rng.uniform(-1, 1, size=(30, 2))
+    ls, os_, lam = np.array([0.7, 0.7]), 0.5, 1e-4
+
+    n = rkhs_norm(Z, y, ls, os_, lam)
+    assert n > 0
+    b = info_beta(Z, ls, os_, lam)
+    assert b > 1
+
+    # monotonicity: bigger eps -> bigger probability
+    p1 = small_ball_probability(Z, y, grid, ls, os_, lam, 0.01, 500)
+    p2 = small_ball_probability(Z, y, grid, ls, os_, lam, 0.5, 500)
+    assert p2 >= p1
+    assert 0.0 <= p1 <= 1.0 and p2 > 0.5
+
+    e90 = epsilon_for_probability(Z, y, grid, ls, os_, lam, 0.9, 500)
+    p_chk = small_ball_probability(Z, y, grid, ls, os_, lam, e90, 500)
+    assert abs(p_chk - 0.9) < 0.1
+
+    assert num_samples_for_coverage(0.5, 0.05) == 5
+    assert num_samples_for_coverage(1.0) == 1
