@@ -28,23 +28,41 @@ FAR = 1.0e5   # input coordinate of empty hallucination slots
 
 
 class GPState(NamedTuple):
-    """All conditioning data for the batched GP."""
+    """All conditioning data for the batched GP.
+
+    The real training data never changes over an experiment, so its masked
+    Cholesky factor is computed once (per output) at init; per-SQP-iteration
+    conditioning only appends the hallucination block via a blockwise
+    Cholesky update (gp/exact.py condition_update) — replacing the
+    reference's full model rebuild each iteration (ref: src/agent.py:216-272).
+    """
 
     real_Z: jnp.ndarray    # (N, D)
     real_Y: jnp.ndarray    # (g_ny, N, Ty)
+    real_fact: dict        # per-output {"L" (g_ny,R,R), "w" (g_ny,R), "mask"}
     hall_Z: jnp.ndarray    # (ns, g_ny, Mh, D)
     hall_Y: jnp.ndarray    # (ns, g_ny, Mh, Ty)  (NaN = empty/masked)
     hall_n: jnp.ndarray    # scalar int32 fill count
 
 
-def init_gp_state(spec: ProblemSpec, env: Env, dtype, capacity: int = None) -> GPState:
+def init_gp_state(spec: ProblemSpec, env: Env, dtype, capacity: int = None,
+                  hyp: GPHyperArrays = None) -> GPState:
     X, Y = env.training_grid()
     Y = Y[:, :, :spec.Ty]
     Mh = capacity if capacity is not None else spec.H * max(spec.max_sqp_iter, 1)
     D = spec.n_gp_inputs
+    real_Z = jnp.asarray(X, dtype)
+    real_Y = jnp.asarray(Y, dtype)
+    if hyp is None:
+        hyp = GPHyperArrays.from_spec(spec.gp, dtype)
+    rf = jax.jit(jax.vmap(
+        lambda Y1, ls, os_: exact.factor_real(
+            real_Z, Y1, ls, os_, hyp.noise_diag, hyp.jitter,
+            spec.use_derivatives)))(real_Y, hyp.lengthscale, hyp.outputscale)
     return GPState(
-        real_Z=jnp.asarray(X, dtype),
-        real_Y=jnp.asarray(Y, dtype),
+        real_Z=real_Z,
+        real_Y=real_Y,
+        real_fact=rf,
         hall_Z=jnp.full((spec.ns, spec.g_ny, Mh, D), FAR, dtype),
         hall_Y=jnp.full((spec.ns, spec.g_ny, Mh, spec.Ty), jnp.nan, dtype),
         hall_n=jnp.asarray(0, jnp.int32),
@@ -82,7 +100,7 @@ def make_epistemic(key, spec: ProblemSpec, dtype) -> jnp.ndarray:
 
 
 def _batched_posterior(spec: ProblemSpec, hyp: GPHyperArrays, Z, Y, Xt):
-    """Condition + predict, vmapped over (ns, g_ny).
+    """Condition + predict from scratch, vmapped over (ns, g_ny).
 
     Args:
         Z: (ns, g_ny, M, D); Y: (ns, g_ny, M, Ty); Xt: (ns, H, D).
@@ -105,6 +123,36 @@ def _batched_posterior(spec: ProblemSpec, hyp: GPHyperArrays, Z, Y, Xt):
                          in_axes=(0, 0, 0, None, None))(
         Xt, Z, fact, hyp.lengthscale, hyp.outputscale)
     return fact, mean, cov
+
+
+def _batched_posterior_incremental(spec: ProblemSpec, hyp: GPHyperArrays,
+                                   gp: GPState, Xt):
+    """Condition + predict via the blockwise update on the cached real
+    factorization: only the (R_h, R_h) Schur block is factorized per
+    (sample, output) — the hot path of every SQP iteration.
+
+    Returns:
+        mean (ns, g_ny, Ht), cov (ns, g_ny, Ht, Ht).
+    """
+    wg = spec.use_derivatives
+
+    def upd_one(rf1, Zh1, Yh1, ls, os_):
+        return exact.condition_update(
+            rf1, gp.real_Z, Zh1, Yh1, ls, os_, hyp.noise_diag, hyp.jitter, wg)
+
+    uf = jax.vmap(jax.vmap(upd_one, in_axes=(0, 0, 0, 0, 0)),
+                  in_axes=(None, 0, 0, None, None))(
+        gp.real_fact, gp.hall_Z, gp.hall_Y,
+        hyp.lengthscale, hyp.outputscale)
+
+    def pred_one(Xt1, Zh1, rf1, uf1, ls, os_):
+        return exact.predict_update(Xt1, gp.real_Z, Zh1, rf1, uf1, ls, os_,
+                                    hyp.jitter, wg)
+
+    mean, cov = jax.vmap(jax.vmap(pred_one, in_axes=(None, 0, 0, 0, 0, 0)),
+                         in_axes=(0, 0, None, 0, None, None))(
+        Xt, gp.hall_Z, gp.real_fact, uf, hyp.lengthscale, hyp.outputscale)
+    return mean, cov
 
 
 def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
@@ -136,19 +184,21 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         # pure true-dynamics oracle (ns=1): no GP work at all
         return true_rows(Xt[0])[None], gp
 
+    # posterior via the blockwise update on the cached real factorization;
+    # the concatenated train set is only needed for the min-dist override
     Z, Y = full_train_set(spec, gp)
-    fact, mean, cov = _batched_posterior(spec, hyp, Z, Y, Xt)
+    mean, cov = _batched_posterior_incremental(spec, hyp, gp, Xt)
 
     if oracle_only:
         dg = jnp.zeros((spec.ns, spec.g_ny, H, Ty), Xt.dtype)
     else:
-        def samp_one(Xt1, Z1, Y1, f1, mean1, cov1, eps1):
+        def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1):
             return exact.sample_with_overrides(
-                Xt1, Z1, Y1, f1, mean1, cov1, eps1.reshape(-1), hyp, Ty)
+                Xt1, Z1, Y1, None, mean1, cov1, eps1.reshape(-1), hyp, Ty)
 
-        dg = jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0, 0)),
-                      in_axes=(0, 0, 0, 0, 0, 0, 0))(
-            Xt, Z, Y, fact, mean, cov, eps)          # (ns, g_ny, H, Ty)
+        dg = jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0)),
+                      in_axes=(0, 0, 0, 0, 0, 0))(
+            Xt, Z, Y, mean, cov, eps)                # (ns, g_ny, H, Ty)
 
     # debug overrides address *global* sample indices 0 (and 1); under
     # shard_map these live on shard 0, so mask by the global index

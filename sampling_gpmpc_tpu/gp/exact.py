@@ -202,3 +202,93 @@ def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
 def batched(fn, in_axes):
     """vmap over (ns, g_ny) with hyperparameters mapped over g_ny only."""
     return jax.vmap(jax.vmap(fn, in_axes=in_axes[1]), in_axes=in_axes[0])
+
+
+# ---------------------------------------------------------------------------
+# Blockwise conditioning: fixed real data factored once, per-sample
+# hallucination rows appended by a Cholesky block update (the SURVEY §5
+# "growing conditioning set" treatment — replaces the reference's full
+# GPyTorch refactorization every SQP iteration, src/agent.py:216-272).
+# ---------------------------------------------------------------------------
+
+@_full_precision
+def factor_real(Z_r, Y_r, hyp_ls, hyp_os, noise_diag, jitter,
+                with_grad: bool):
+    """Factor the fixed real-data block for one output.
+
+    Returns dict with L_r (R_r, R_r), w_r = L_r^-1 y~_r, mask_r, and the
+    (masked) raw y for later use.
+    """
+    M, Ty = Y_r.shape
+    y = Y_r.reshape(-1)
+    m = (~jnp.isnan(y)).astype(Z_r.dtype)
+    y = jnp.nan_to_num(y) * m
+
+    K = kernel_matrix(Z_r, Z_r, hyp_ls, hyp_os, with_grad and Ty > 1)
+    K = K + jnp.diag(jnp.tile(noise_diag, M))
+    A = m[:, None] * K * m[None, :] + jnp.diag(1.0 - m)
+    L_r = safe_cholesky(A, jitter)
+    w_r = jax.scipy.linalg.solve_triangular(L_r, y, lower=True)
+    return {"L": L_r, "w": w_r, "mask": m}
+
+
+@_full_precision
+def condition_update(rf, Z_r, Z_h, Y_h, hyp_ls, hyp_os, noise_diag, jitter,
+                     with_grad: bool):
+    """Append hallucination rows to a real-data factorization (block chol).
+
+    With A = [[A_rr, A_rh], [A_hr, A_hh]] the masked train covariance, the
+    factor is L = [[L_r, 0], [C', L_s]] with C = L_r^-1 A_rh and
+    L_s = chol(A_hh - C'C); only the (R_h, R_h) Schur block is factorized
+    per sample.
+
+    Returns dict with C (R_r, R_h), L_s, alpha_r/alpha_h (the split
+    K~^-1 y~), masks.
+    """
+    Mh, Ty = Y_h.shape
+    y_h = Y_h.reshape(-1)
+    m_h = (~jnp.isnan(y_h)).astype(Z_h.dtype)
+    y_h = jnp.nan_to_num(y_h) * m_h
+    m_r = rf["mask"]
+
+    grad = with_grad and Ty > 1
+    K_rh = kernel_matrix(Z_r, Z_h, hyp_ls, hyp_os, grad)
+    A_rh = m_r[:, None] * K_rh * m_h[None, :]
+    K_hh = kernel_matrix(Z_h, Z_h, hyp_ls, hyp_os, grad)
+    K_hh = K_hh + jnp.diag(jnp.tile(noise_diag, Mh))
+    A_hh = m_h[:, None] * K_hh * m_h[None, :] + jnp.diag(1.0 - m_h)
+
+    C = jax.scipy.linalg.solve_triangular(rf["L"], A_rh, lower=True)
+    S = A_hh - C.T @ C
+    L_s = safe_cholesky(0.5 * (S + S.T), jitter)
+
+    w_h = jax.scipy.linalg.solve_triangular(
+        L_s, y_h - C.T @ rf["w"], lower=True)
+    alpha_h = jax.scipy.linalg.solve_triangular(
+        L_s.T, w_h, lower=False)
+    alpha_r = jax.scipy.linalg.solve_triangular(
+        rf["L"].T, rf["w"] - C @ alpha_h, lower=False)
+    return {"C": C, "L_s": L_s, "alpha_r": alpha_r, "alpha_h": alpha_h,
+            "mask_h": m_h}
+
+
+@_full_precision
+def predict_update(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, jitter,
+                   with_grad: bool):
+    """Joint posterior using the block factorization.
+
+    mean = Kx @ alpha; cov = Ktt - V_r'V_r - V_h'V_h with
+    V_r = L_r^-1 (Kx_r ⊙ m_r)',  V_h = L_s^-1 ((Kx_h ⊙ m_h)' - C'V_r).
+    """
+    Kx_r = kernel_matrix(Xt, Z_r, hyp_ls, hyp_os, with_grad) \
+        * rf["mask"][None, :]
+    Kx_h = kernel_matrix(Xt, Z_h, hyp_ls, hyp_os, with_grad) \
+        * uf["mask_h"][None, :]
+    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+
+    mean = Kx_r @ uf["alpha_r"] + Kx_h @ uf["alpha_h"]
+    V_r = jax.scipy.linalg.solve_triangular(rf["L"], Kx_r.T, lower=True)
+    V_h = jax.scipy.linalg.solve_triangular(
+        uf["L_s"], Kx_h.T - uf["C"].T @ V_r, lower=True)
+    cov = Ktt - V_r.T @ V_r - V_h.T @ V_h
+    return mean, 0.5 * (cov + cov.T)

@@ -45,6 +45,7 @@ def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
     local_spec = dataclasses.replace(spec, ns=spec.ns // n_dev)
 
     gp_spec = GPState(real_Z=P(), real_Y=P(),
+                      real_fact={"L": P(), "w": P(), "mask": P()},
                       hall_Z=P(axis), hall_Y=P(axis), hall_n=P())
     state_spec = sqp.SolveState(
         X=P(None, axis), U=P(), X_prev=P(None, axis), U_prev=P(),

@@ -46,15 +46,15 @@ def _sample_at_points(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
         (ns, g_ny, P, Ty) sampled rows.
     """
     Z, Y = agent_mod.full_train_set(spec, gp)
-    fact, mean, cov = agent_mod._batched_posterior(spec, hyp, Z, Y, Xt)
+    mean, cov = agent_mod._batched_posterior_incremental(spec, hyp, gp, Xt)
 
-    def samp_one(Xt1, Z1, Y1, f1, mean1, cov1, eps1):
+    def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1):
         return exact.sample_with_overrides(
-            Xt1, Z1, Y1, f1, mean1, cov1, eps1.reshape(-1), hyp, spec.Ty)
+            Xt1, Z1, Y1, None, mean1, cov1, eps1.reshape(-1), hyp, spec.Ty)
 
-    return jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0, 0)),
-                    in_axes=(0, 0, 0, 0, 0, 0, 0))(
-        Xt, Z, Y, fact, mean, cov, eps)
+    return jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0)),
+                    in_axes=(0, 0, 0, 0, 0, 0))(
+        Xt, Z, Y, mean, cov, eps)
 
 
 def _propagate(spec: ProblemSpec, env: Env, x, u, dg):

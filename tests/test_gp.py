@@ -156,3 +156,39 @@ def test_safe_cholesky_escalates():
     A = jnp.zeros((3, 3), dtype=jnp.float64)  # singular: needs escalation
     L = safe_cholesky(A + 1.0, 1e-20)  # rank-1 ones matrix
     assert not np.any(np.isnan(np.asarray(L)))
+
+
+def test_incremental_conditioning_matches_full():
+    """Blockwise real+hallucination conditioning must reproduce the
+    from-scratch posterior exactly (incl. NaN-masked rows)."""
+    from sampling_gpmpc_tpu.gp.exact import (condition_update, factor_real,
+                                             predict_update)
+    rng = np.random.default_rng(4)
+    Zr = rng.normal(size=(8, 2))
+    Yr = rng.normal(size=(8, 3))
+    Yr[::2, 1:] = np.nan                     # value-only real rows
+    Zh = rng.normal(size=(5, 2))
+    Yh = rng.normal(size=(5, 3))
+    Yh[3, :] = np.nan                        # one fully-masked hall row
+    Xt = rng.normal(size=(4, 2))
+    noise = np.array([1e-6, 2e-6, 3e-6])
+
+    Z_full = np.concatenate([Zr, Zh])
+    Y_full = np.concatenate([Yr, Yh])
+    fact = condition(jnp.asarray(Z_full), jnp.asarray(Y_full), LS, OS,
+                     jnp.asarray(noise), 1e-12, True)
+    mean_f, cov_f = predict(jnp.asarray(Xt), jnp.asarray(Z_full), fact,
+                            LS, OS, 0.0, True)
+
+    rf = factor_real(jnp.asarray(Zr), jnp.asarray(Yr), LS, OS,
+                     jnp.asarray(noise), 1e-12, True)
+    uf = condition_update(rf, jnp.asarray(Zr), jnp.asarray(Zh),
+                          jnp.asarray(Yh), LS, OS, jnp.asarray(noise),
+                          1e-12, True)
+    mean_i, cov_i = predict_update(jnp.asarray(Xt), jnp.asarray(Zr),
+                                   jnp.asarray(Zh), rf, uf, LS, OS, 0.0, True)
+
+    np.testing.assert_allclose(np.asarray(mean_i), np.asarray(mean_f),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov_i), np.asarray(cov_f),
+                               rtol=1e-6, atol=1e-9)
