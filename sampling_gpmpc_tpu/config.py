@@ -163,6 +163,7 @@ def make_spec(params: dict) -> ProblemSpec:
     # like the benchmark drivers do
     ag.setdefault("tight", {"use": False, "dyn_eps": 0.0, "Lipschitz": 1.0,
                             "w_bound": 0.0})
+    ag["tight"].setdefault("use", False)
     ag.setdefault("feedback", {"use": False})
     ag.setdefault("input_generation", False)
     ag.setdefault("shift_soln", True)
