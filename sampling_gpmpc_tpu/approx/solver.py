@@ -174,6 +174,100 @@ class ApproxMPC:
         return jax.lax.fori_loop(0, self.max_sqp_iter, body,
                                  (X, U, jnp.asarray(0)))
 
+    # ------------------------------------------------------------------
+    # Optimistic OCP: augment the input with per-stage eta in [-1, 1]^nx
+    # scaling the weight posterior stds, so the optimizer may pick any
+    # dynamics within the beta-confidence set (exploration planning,
+    # ref: extra/approx_sampling_mpc/src/utils/optimistic_ocp.py,
+    # src/agent.py:886-935).
+    # ------------------------------------------------------------------
+
+    def _opt_cfg(self):
+        return self.params.get("optimistic_optimizer",
+                               self.params["optimizer"])
+
+    def optimistic_step(self, x, u, eta):
+        """Dynamics with eta-scaled weights: w_j = mu_j + eta_j beta sigma_j."""
+        beta = float(self.params["agent"].get("Dyn_gp_beta", 2.0))
+        sig = jnp.sqrt(jax.vmap(jnp.diagonal)(
+            jnp.einsum("jab,jcb->jac", self.post.chol, self.post.chol)))
+        W = self.post.mu + eta[:, None] * beta * sig * self.post.mask
+        return self.step_fn(x, u, W)
+
+    def solve_optimistic(self, x0, wpath=None, max_sqp_iter=None):
+        """Optimistic plan from x0; returns (X, U_aug, status).
+
+        U_aug stacks (u, eta) per stage; eta is box-bounded to [-1, 1].
+        """
+        cfg = self._opt_cfg()
+        H, nx, nu = self.H, self.nx, self.nu
+        nu_a = nu + nx
+        dtype = self.dtype
+        lm = float(cfg["options"]["levenberg_marquardt"])
+        Qx = jnp.asarray(np.diag(cfg["Qx"][:2]), dtype)
+        Qu_a = jnp.zeros((nu_a, nu_a), dtype).at[:nu, :nu].set(
+            jnp.asarray(np.diag(cfg["Qu"][:nu]), dtype))
+        max_sqp_iter = max_sqp_iter or cfg["SEMPC"]["max_sqp_iter"]
+        if wpath is None:
+            wpath = jnp.asarray(self.model.path_generator(0), dtype)
+
+        x0 = jnp.asarray(x0, dtype)
+        X = jnp.broadcast_to(x0[None], (H + 1, nx)).astype(dtype)
+        U = jnp.zeros((H, nu_a), dtype)
+
+        def aug_step(x, ua):
+            return self.optimistic_step(x, ua[:nu], ua[nu:])
+
+        def val_jac(x, ua):
+            val = aug_step(x, ua)
+            Jx = jax.jacfwd(aug_step, argnums=0)(x, ua)
+            Ju = jax.jacfwd(aug_step, argnums=1)(x, ua)
+            return val, Jx, Ju
+
+        @jax.jit
+        def iteration(X, U):
+            val, A, B = jax.vmap(val_jac)(X[:H], U)
+            r = val - X[1:]
+            T, Gamma = condense_single(A, B, r, x0 - X[0])
+
+            Qfull = jnp.zeros((nx, nx), dtype).at[:2, :2].set(Qx)
+            xref = jnp.zeros((H + 1, nx), dtype).at[:, :2].set(wpath)
+            Hx = 2.0 * Qfull[None] + lm * jnp.eye(nx, dtype=dtype)[None]
+            xerr = X + T - xref
+            grad_x = 2.0 * jnp.einsum("ab,kb->ka", Qfull, xerr) + lm * T
+            H_U = jnp.einsum("kau,kab,kbv->uv", Gamma, Hx, Gamma)
+            g_U = jnp.einsum("kau,ka->u", Gamma, grad_x)
+            Hu = 2.0 * Qu_a + lm * jnp.eye(nu_a, dtype=dtype)
+            H_U = H_U + jnp.kron(jnp.eye(H, dtype=dtype), Hu)
+            g_U = g_U + (2.0 * U @ Qu_a).reshape(H * nu_a)
+
+            # input box: physical u bounds + eta in [-1, 1]
+            u_lo = jnp.concatenate([self.u_min, -jnp.ones(nx, dtype)])
+            u_hi = jnp.concatenate([self.u_max, jnp.ones(nx, dtype)])
+            sel = jnp.eye(H * nu_a, dtype=dtype)
+            lo = (u_lo[None] - U).reshape(-1)
+            hi = (u_hi[None] - U).reshape(-1)
+            # state box stages 1..H
+            xpred = X + T
+            Gx = Gamma[1:].reshape(H * nx, H * nu_a)
+            lo_x = (self.x_min[None] - xpred[1:]).reshape(-1)
+            hi_x = (self.x_max[None] - xpred[1:]).reshape(-1)
+            C_h, d_h = boxes_to_rows(jnp.concatenate([sel, Gx]),
+                                     jnp.concatenate([lo, lo_x]),
+                                     jnp.concatenate([hi, hi_x]))
+            empty = jnp.zeros((0,), dtype)
+            sol = solve_qp_soft(H_U, g_U, C_h, d_h,
+                                jnp.zeros((0, H * nu_a), dtype),
+                                empty, empty, empty, empty, empty, empty)
+            dU = sol.z
+            dX = T + jnp.einsum("kau,u->ka", Gamma, dU)
+            return X + dX, U + dU.reshape(H, nu_a), sol.status
+
+        status = jnp.asarray(0)
+        for _ in range(max_sqp_iter):
+            X, U, status = iteration(X, U)
+        return X, U, int(status)
+
     def run(self, num_iters=None, x0=None, key=None):
         """Closed loop (ref: demo_obstacle_avoidance.py)."""
         import time

@@ -83,3 +83,25 @@ def test_closed_loop_tracks_and_avoids(params):
     for (cx, cy, r) in np.asarray(mpc.obstacles):
         d = np.sqrt((ph[:, 0] - cx) ** 2 + (ph[:, 1] - cy) ** 2)
         assert d.min() > r - 0.05, "obstacle violated in closed loop"
+
+
+def test_optimistic_plan(params):
+    """Optimistic planning: eta within [-1,1] picks favorable dynamics; the
+    optimistic plan must track the path at least as well as the nominal."""
+    mpc = ApproxMPC(params)
+    x0 = np.asarray(params["env"]["start"])
+    X, U, status = mpc.solve_optimistic(x0, max_sqp_iter=3)
+    assert status == 0
+    X = np.asarray(X)
+    U = np.asarray(U)
+    # eta bounded
+    assert np.all(U[:, mpc.nu:] <= 1.0 + 1e-6)
+    assert np.all(U[:, mpc.nu:] >= -1.0 - 1e-6)
+    # state box respected, plan moves along the path
+    assert np.all(X >= np.asarray(params["optimizer"]["x_min"])[None] - 1e-4)
+    assert np.all(X <= np.asarray(params["optimizer"]["x_max"])[None] + 1e-4)
+    # the plan tracks the per-stage path reference better than staying put
+    path = mpc.model.path_generator(0)
+    err_plan = np.linalg.norm(X[:, :2] - path, axis=1).mean()
+    err_stay = np.linalg.norm(x0[None, :2] - path, axis=1).mean()
+    assert err_plan < err_stay
