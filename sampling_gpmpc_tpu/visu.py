@@ -128,6 +128,45 @@ def render_run(data: dict, params: dict, out_dir: str,
     return path
 
 
+def plot_sqp_iterate(out_path, X, U, dg=None, mean=None, std=None,
+                     x_bounds=None):
+    """Per-SQP-iterate debug figure (ref: src/solver.py:194-352): the
+    per-sample trajectory fan, GP samples vs posterior mean bands along the
+    trajectory, and the input staircase.
+
+    Args:
+        X: (H+1, ns, nx); U: (H, nu).
+        dg: optional (ns, g_ny, H, Ty) sampled GP rows (value column used).
+        mean/std: optional (ns, g_ny, H) posterior value mean/stddev.
+    """
+    X = np.asarray(X)
+    U = np.asarray(U)
+    fig, ax = plt.subplots(1, 3, figsize=(13, 4))
+    s_frac = np.linspace(0, 1, X.shape[0] - 1)
+    for s in range(X.shape[1]):
+        ax[1].plot(X[:, s, 0], X[:, s, 1], "-d", ms=2, alpha=0.6)
+        if mean is not None:
+            h = ax[0].plot(s_frac, np.asarray(mean)[s, 0], alpha=0.8)
+            if std is not None:
+                ax[0].fill_between(
+                    s_frac,
+                    np.asarray(mean)[s, 0] - 2 * np.asarray(std)[s, 0],
+                    np.asarray(mean)[s, 0] + 2 * np.asarray(std)[s, 0],
+                    alpha=0.15, color=h[0].get_color())
+        if dg is not None:
+            ax[0].plot(s_frac, np.asarray(dg)[s, 0, :, 0], "x", ms=4)
+    if x_bounds is not None:
+        for b in np.asarray(x_bounds).reshape(-1):
+            ax[1].axhline(b, color="k", linewidth=0.5, alpha=0.3)
+    ax[0].set_title("GP samples along iterate")
+    ax[1].set_title("trajectory fan")
+    ax[2].stairs(U[:, 0], np.arange(U.shape[0] + 1))
+    ax[2].set_title("input")
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def _render_video(data, params, out_dir, nx, dims, tilde_eps, P):
     import matplotlib.animation as manimation
     try:
