@@ -30,7 +30,7 @@ from sampling_gpmpc_tpu.envs.base import Env
 from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
 from sampling_gpmpc_tpu.ocp.assemble import (build_cost, build_hard_rows,
                                              build_soft_rows)
-from sampling_gpmpc_tpu.ocp.condense import condense
+from sampling_gpmpc_tpu.ocp.condense import condense_parallel as condense
 from sampling_gpmpc_tpu.ocp.qp import boxes_to_rows, solve_qp_soft
 from sampling_gpmpc_tpu.ocp.spec import OCPData
 

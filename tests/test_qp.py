@@ -205,3 +205,19 @@ def test_native_qp_on_saved_instance():
         d["H"], d["g"], d["Gh"], d["dh"], d["Gs"], d["lo"], d["hi"],
         d["zl"], d["zu"], d["Zl"], d["Zu"])
     assert status == 0, (gap, iters)
+
+
+def test_parallel_condense_matches_sequential():
+    from sampling_gpmpc_tpu.ocp.condense import condense, condense_parallel
+    rng = np.random.default_rng(11)
+    ns, H, nx, nu = 3, 7, 4, 2
+    A = jnp.asarray(rng.normal(size=(ns, H, nx, nx)) * 0.4)
+    B = jnp.asarray(rng.normal(size=(ns, H, nx, nu)))
+    r = jnp.asarray(rng.normal(size=(ns, H, nx)))
+    dx0 = jnp.asarray(rng.normal(size=(ns, nx)))
+    T1, G1 = condense(A, B, r, dx0)
+    T2, G2 = condense_parallel(A, B, r, dx0)
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T1),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G1),
+                               rtol=1e-10, atol=1e-12)
