@@ -192,3 +192,26 @@ def test_incremental_conditioning_matches_full():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(cov_i), np.asarray(cov_f),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_cholesky_kernel_interpret():
+    """The experimental Pallas batched-Cholesky kernel is numerically
+    correct (validated in interpreter mode; see module docstring for the
+    production status)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from sampling_gpmpc_tpu.ops.pallas_chol import _chol_kernel
+    rng = np.random.default_rng(0)
+    b, n = 3, 16
+    X = rng.normal(size=(b, n, n)).astype("float32")
+    A = jnp.asarray(np.einsum("bij,bkj->bik", X, X)
+                    + 3 * np.eye(n, dtype="float32"))
+    out = pl.pallas_call(
+        functools.partial(_chol_kernel, n=n, jitter=0.0),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+        interpret=True)(A)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.linalg.cholesky(A)), atol=3e-6)
