@@ -1,4 +1,11 @@
-"""Pallas batched Cholesky for small SPD matrices.
+"""Pallas batched Cholesky for small SPD matrices (EXPERIMENTAL).
+
+STATUS: the kernel is numerically validated in interpreter mode, but the
+Mosaic compile of the (n, n) fori-loop carry is currently pathologically
+slow through this image's remote-compile path, so the production GP path
+keeps XLA's batched Cholesky (see BENCH_NOTES.md headroom notes).
+``batched_cholesky`` therefore defaults to the XLA implementation unless
+``use_pallas=True`` is requested explicitly.
 
 The GP conditioning path factors large *batches* of small matrices
 (ns*g_ny x R x R with R ~ 60-200) — a shape where XLA's LAPACK-style
@@ -47,12 +54,10 @@ def _chol_kernel(a_ref, o_ref, *, n: int, jitter: float):
     o_ref[0] = L
 
 
-@functools.partial(jax.jit, static_argnames=("jitter",))
-def batched_cholesky(A: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
-    """Cholesky of a batch of SPD matrices: (..., n, n) -> lower (..., n, n).
-
-    Falls back to jnp.linalg.cholesky on non-TPU backends.
-    """
+@functools.partial(jax.jit, static_argnames=("jitter", "use_pallas"))
+def batched_cholesky(A: jnp.ndarray, jitter: float = 0.0,
+                     use_pallas: bool = False) -> jnp.ndarray:
+    """Cholesky of a batch of SPD matrices: (..., n, n) -> lower (..., n, n)."""
     shape = A.shape
     n = shape[-1]
     batch = 1
@@ -60,7 +65,7 @@ def batched_cholesky(A: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
         batch *= s
     A3 = A.reshape(batch, n, n)
 
-    if jax.devices()[0].platform not in ("tpu", "axon"):
+    if not use_pallas or jax.devices()[0].platform not in ("tpu", "axon"):
         L = jnp.linalg.cholesky(
             A3 + jitter * jnp.eye(n, dtype=A.dtype)[None])
         return L.reshape(shape)
