@@ -58,8 +58,14 @@ def main():
     T = args.steps or spec.num_mpc_iter
     if args.data:
         rec = pickle.load(open(args.data, "rb"))
-        U = jnp.asarray(np.concatenate(
-            [np.asarray(u)[:1] for u in rec["input_traj"]])[:T], dtype)
+        if len(rec["input_traj"]) == 1:
+            # single solve: replay the full planned input sequence
+            # (ref: simulate_forward_sampling_car.py:91-98)
+            U = jnp.asarray(np.asarray(rec["input_traj"][0])[:T], dtype)
+        else:
+            # closed loop: replay the applied first inputs
+            U = jnp.asarray(np.concatenate(
+                [np.asarray(u)[:1] for u in rec["input_traj"]])[:T], dtype)
         T = U.shape[0]
     else:
         U = jnp.zeros((T, spec.nu), dtype)

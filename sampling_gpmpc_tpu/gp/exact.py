@@ -85,22 +85,32 @@ def safe_cholesky(A: jnp.ndarray, jitter: float) -> jnp.ndarray:
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     mean_diag = jnp.mean(jnp.diagonal(A))
+    if A.dtype == jnp.float32:
+        # single-precision rounding of covariance differences produces
+        # negative eigenvalues ~ eps*||K||; start at an absolute floor so
+        # the FIRST attempt virtually always succeeds — under vmap every
+        # escalation round refactors the whole batch
+        floor, cap = 1e-6, 1e-2
+    else:
+        floor, cap = 1e-14, 1e-4
+    j0 = jnp.maximum(jnp.asarray(jitter, A.dtype), floor)
+    cap = jnp.maximum(1e-3 * mean_diag, cap)
 
     def attempt(j):
         return jnp.linalg.cholesky(A + j * eye)
 
-    L = attempt(jnp.asarray(jitter, A.dtype))
+    L = attempt(j0)
 
     def body(carry):
         L, j = carry
-        j = jnp.maximum(j * 10.0, 1e-10 * mean_diag)
+        j = j * 100.0
         return attempt(j), j
 
     def cond(carry):
         L, j = carry
-        return jnp.any(jnp.isnan(L)) & (j < 1e-3 * mean_diag)
+        return jnp.any(jnp.isnan(L)) & (j < cap)
 
-    L, _ = jax.lax.while_loop(cond, body, (L, jnp.asarray(jitter, A.dtype)))
+    L, _ = jax.lax.while_loop(cond, body, (L, j0))
     return L
 
 
@@ -196,7 +206,10 @@ def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
 
     std = jnp.sqrt(var)
     y = jnp.clip(y, mu - hyp.beta * std, mu + hyp.beta * std)
-    return y
+    # f32-on-TPU backstop: if the pathwise factorization still failed after
+    # jitter escalation, fall back to the posterior mean for those entries
+    # (the reference asserts no NaN under f64, src/agent.py:698)
+    return jnp.where(jnp.isfinite(y), y, mu)
 
 
 def batched(fn, in_axes):
