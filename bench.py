@@ -84,10 +84,16 @@ def time_solve(fn, args, n_warmup=2, n_iter=20):
 def main():
     dtype = jnp.float32
     params, spec, data, env = build()
+    profile_dir = os.environ.get("SGPMPC_PROFILE")
 
     dev = jax.devices()[0]
     fn, args = setup_solve(spec, data, env, dev, dtype)
     dt_dev = time_solve(fn, args)
+    if profile_dir:
+        # one traced window for jax.profiler / xprof (SURVEY §5 tracing)
+        with jax.profiler.trace(profile_dir):
+            time_solve(fn, args, n_warmup=0, n_iter=5)
+        print(f"# trace written to {profile_dir}", file=sys.stderr)
     solves_per_s = 1.0 / dt_dev
 
     # host-CPU baseline of the identical computation

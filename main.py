@@ -21,6 +21,7 @@ def main():
     parser.add_argument("-i", type=int, default=42)
     parser.add_argument("--dtype", default=None,
                         help="float32|float64 (default: env SGPMPC_DTYPE)")
+    parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args()
 
     if args.dtype:
@@ -48,7 +49,7 @@ def main():
         rec.tilde_eps_list = data.tilde_eps
         rec.ci_list = data.ci
 
-    mpc = DEMPC(params, spec, data, env, recorder=rec)
+    mpc = DEMPC(params, spec, data, env, recorder=rec, verbose=not args.quiet)
     out = mpc.run()
 
     artifact = rec.save_data()

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sampling_gpmpc_tpu.utils.termcolor import bcolors
+
 from sampling_gpmpc_tpu import agent as agent_mod
 from sampling_gpmpc_tpu.config import ProblemData, ProblemSpec
 from sampling_gpmpc_tpu.envs.base import Env
@@ -34,8 +36,9 @@ class DEMPC:
     """Owns the jitted solve and the closed-loop state."""
 
     def __init__(self, params: dict, spec: ProblemSpec, data: ProblemData,
-                 env: Env, dtype=None, recorder=None):
+                 env: Env, dtype=None, recorder=None, verbose=False):
         from sampling_gpmpc_tpu.setup import default_dtype
+        self.verbose = verbose
         self.spec, self.data, self.env = spec, data, env
         self.dtype = dtype or default_dtype()
         self.ocp = make_ocp_data(spec, data, self.dtype)
@@ -91,6 +94,13 @@ class DEMPC:
             inputs.append(np.asarray(U))
             plans.append(np.asarray(X))
             times.append(dt_solve)
+            if self.verbose:
+                # per-step console line (ref: src/DEMPC.py:72-79)
+                print(f"{bcolors.green}Reached: {m} "
+                      f"{np.round(np.asarray(x_curr), 4)} "
+                      f"u0={np.round(np.asarray(u0), 4)} "
+                      f"sqp_iters={int(st.it)} status={int(st.status)} "
+                      f"solve={dt_solve:.3f}s{bcolors.ENDC}")
             if self.recorder is not None:
                 self.recorder.record(np.asarray(x_curr), np.asarray(X),
                                      np.asarray(U), dt_solve, self)
