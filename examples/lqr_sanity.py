@@ -38,7 +38,7 @@ def main():
     for k in range(400):
         err = x - data.goal
         V.append(float(err @ ts.P @ err))
-        u = ts.K @ (data.goal - x)          # u = -K(x - x_eq)
+        u = -ts.K @ (data.goal - x)         # config: u = -K(x_eq - x)
         x = np.asarray(env.discrete_dyn(jnp.asarray(x), jnp.asarray(u)))
     V = np.asarray(V)
     print("V(0) =", V[0], " V(end) =", V[-1])

@@ -185,8 +185,14 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         return true_rows(Xt[0])[None], gp
 
     # posterior via the blockwise update on the cached real factorization;
-    # the concatenated train set is only needed for the min-dist override
-    Z, Y = full_train_set(spec, gp)
+    # the concatenated train set is only needed by the (statically gated)
+    # min-dist override and the dedup filter
+    need_train_set = hyp.min_data_dist >= 0.0
+    if need_train_set:
+        Z, Y = full_train_set(spec, gp)
+    else:
+        Z = jnp.zeros((spec.ns, spec.g_ny, 1, Xt.shape[-1]), Xt.dtype)
+        Y = jnp.full((spec.ns, spec.g_ny, 1, Ty), jnp.nan, Xt.dtype)
     mean, cov = _batched_posterior_incremental(spec, hyp, gp, Xt)
 
     if oracle_only:
@@ -217,7 +223,8 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         idx += 1
 
     if not oracle_only:
-        gp = append_hall(spec, hyp, gp, Xt, dg, Z)
+        gp = append_hall(spec, hyp, gp, Xt, dg,
+                         Z if need_train_set else None)
     return dg, gp
 
 

@@ -22,6 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from sampling_gpmpc_tpu.setup import full_precision
+
 from sampling_gpmpc_tpu.gp.kernel import kernel_matrix
 
 
@@ -61,35 +63,24 @@ jax.tree_util.register_pytree_node(
 
 
 
-def _full_precision(fn):
-    """Trace under full-f32 matmul precision: posterior covariances are
-    differences of near-equal matrices, which TPU bf16-pass matmuls wreck."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapped
-
 
 def safe_cholesky(A: jnp.ndarray, jitter: float) -> jnp.ndarray:
-    """Cholesky with escalating jitter (mirrors psd_safe_cholesky).
+    """Cholesky with escalating-jitter retries (psd_safe_cholesky analog).
 
-    Tries the configured jitter first, then escalates by 10x up to 1e-4
-    relative to the mean diagonal, selecting the first factorization that
-    contains no NaN.  All attempts run under ``lax.cond`` so only the
-    needed ones execute.
+    The first attempt uses max(configured jitter, dtype floor); on a NaN
+    factorization the jitter escalates 10x per retry, capped at
+    max(1e-3 * mean diagonal, dtype cap) — the cap is checked against the
+    jitter that will actually be applied, so the applied value never
+    exceeds it by more than the 10x step.  Escalation rounds refactor the
+    whole batch under vmap, hence the dtype floors are chosen so the first
+    attempt virtually always succeeds.
     """
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     mean_diag = jnp.mean(jnp.diagonal(A))
     if A.dtype == jnp.float32:
         # single-precision rounding of covariance differences produces
-        # negative eigenvalues ~ eps*||K||; start at an absolute floor so
-        # the FIRST attempt virtually always succeeds — under vmap every
-        # escalation round refactors the whole batch
+        # negative eigenvalues ~ eps*||K||
         floor, cap = 1e-6, 1e-2
     else:
         floor, cap = 1e-14, 1e-4
@@ -103,18 +94,18 @@ def safe_cholesky(A: jnp.ndarray, jitter: float) -> jnp.ndarray:
 
     def body(carry):
         L, j = carry
-        j = j * 100.0
+        j = j * 10.0
         return attempt(j), j
 
     def cond(carry):
         L, j = carry
-        return jnp.any(jnp.isnan(L)) & (j < cap)
+        return jnp.any(jnp.isnan(L)) & (j * 10.0 <= cap)
 
     L, _ = jax.lax.while_loop(cond, body, (L, j0))
     return L
 
 
-@_full_precision
+@full_precision
 def condition(Z, Y, hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool):
     """Factorize the (masked) train covariance for one (sample, output).
 
@@ -138,7 +129,7 @@ def condition(Z, Y, hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool):
     return {"L": L, "alpha": alpha, "mask": m}
 
 
-@_full_precision
+@full_precision
 def predict(Xt, Z, fact, hyp_ls, hyp_os, jitter, with_grad: bool):
     """Joint posterior over H test points x (1+D) tasks.
 
@@ -161,7 +152,7 @@ def predict(Xt, Z, fact, hyp_ls, hyp_os, jitter, with_grad: bool):
     return mean, cov
 
 
-@_full_precision
+@full_precision
 def posterior_sample(mean, cov, eps, jitter):
     """Pathwise joint sample: mean + chol(cov) @ eps (ref: agent.py:641)."""
     L = safe_cholesky(cov, jitter)
@@ -224,7 +215,7 @@ def batched(fn, in_axes):
 # GPyTorch refactorization every SQP iteration, src/agent.py:216-272).
 # ---------------------------------------------------------------------------
 
-@_full_precision
+@full_precision
 def factor_real(Z_r, Y_r, hyp_ls, hyp_os, noise_diag, jitter,
                 with_grad: bool):
     """Factor the fixed real-data block for one output.
@@ -245,7 +236,7 @@ def factor_real(Z_r, Y_r, hyp_ls, hyp_os, noise_diag, jitter,
     return {"L": L_r, "w": w_r, "mask": m}
 
 
-@_full_precision
+@full_precision
 def condition_update(rf, Z_r, Z_h, Y_h, hyp_ls, hyp_os, noise_diag, jitter,
                      with_grad: bool):
     """Append hallucination rows to a real-data factorization (block chol).
@@ -285,7 +276,7 @@ def condition_update(rf, Z_r, Z_h, Y_h, hyp_ls, hyp_os, noise_diag, jitter,
             "mask_h": m_h}
 
 
-@_full_precision
+@full_precision
 def predict_update(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, jitter,
                    with_grad: bool):
     """Joint posterior using the block factorization.

@@ -78,7 +78,7 @@ def build_hard_rows(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar) -> Ro
     rows_G, rows_lo, rows_hi = [], [], []
 
     # input box on the OCP variable u (v in feedback mode): du_k selector rows
-    sel = jnp.kron(jnp.eye(H, dtype=dtype), jnp.eye(nu, dtype=dtype))  # (nU, nU)
+    sel = jnp.eye(nU, dtype=dtype)   # du_k selector rows
     rows_G.append(sel)
     rows_lo.append((ocp.u_lo[None] - Ubar).reshape(nU))
     rows_hi.append((ocp.u_hi[None] - Ubar).reshape(nU))

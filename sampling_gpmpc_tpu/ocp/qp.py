@@ -21,6 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sampling_gpmpc_tpu.setup import full_precision
+
 BIG = 1e8
 
 
@@ -46,20 +48,8 @@ class QPSolution(NamedTuple):
 
 
 
-def _full_precision(fn):
-    """Trace the solver under full-f32 matmul precision: TPU's default
-    bf16-pass matmuls destroy the Schur complement's conditioning."""
-    import functools
 
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapped
-
-
-@_full_precision
+@full_precision
 def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
              axis_name=None) -> QPSolution:
     """Solve min 0.5 z'Pz + q'z s.t. Cz <= d.
@@ -166,7 +156,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     return QPSolution(z=z, lam=lam, s=s, iters=it, status=status, gap=res)
 
 
-@_full_precision
+@full_precision
 def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
                   tol: float = None, max_iter: int = 150,
                   axis_name=None) -> QPSolution:
@@ -222,8 +212,13 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
             1, axis_name)
 
     m_s = lo_s.shape[0]
+    # qscale feeds mu0, the residual normalization, the best-iterate
+    # selection and the exit test — it must agree across shards (zl is
+    # scaled by shard-local row norms), or replicated-z breaks and the
+    # psum sequences desynchronize
     qscale = 1.0 + jnp.max(jnp.abs(g)) + (jnp.max(zl, initial=0.0)
                                           if m_s else 0.0)
+    qscale = pmax(qscale)
 
     def kkt_residual(st):
         u, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st

@@ -45,7 +45,11 @@ def _sample_at_points(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
     Returns:
         (ns, g_ny, P, Ty) sampled rows.
     """
-    Z, Y = agent_mod.full_train_set(spec, gp)
+    if hyp.min_data_dist >= 0.0:
+        Z, Y = agent_mod.full_train_set(spec, gp)
+    else:
+        Z = jnp.zeros((spec.ns, spec.g_ny, 1, Xt.shape[-1]), Xt.dtype)
+        Y = jnp.full((spec.ns, spec.g_ny, 1, spec.Ty), jnp.nan, Xt.dtype)
     mean, cov = agent_mod._batched_posterior_incremental(spec, hyp, gp, Xt)
 
     def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1):
@@ -111,7 +115,8 @@ def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         newY = newY.at[..., 0].set(dg[..., 0])
         gp = agent_mod.append_hall(
             spec, hyp, gp, Xt, newY,
-            agent_mod.full_train_set(spec, gp)[0])
+            agent_mod.full_train_set(spec, gp)[0]
+            if hyp.min_data_dist >= 0.0 else None)
         return (x_next, gp), x_next
 
     (x_fin, gp), X_tail = jax.lax.scan(step, (x_init, gp), (U, keys))
@@ -157,18 +162,22 @@ def reject_and_resample(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         spec, env, hyp, gp_fs, x_next, U_plan[1:], key,
         use_feedback=use_feedback)
 
-    # tube checks against the plan's stages 2..H
-    for i in range(1, H - 1):
+    # tube checks against the plan's stages 2..H: X_traj[i] is the
+    # realization's prediction of stage i+1, whose tube radius is ci[i]
+    # (ci[k-1] is stage k's radius; ref: src/agent.py:362-396)
+    for i in range(1, H):
         diff = X_plan[i + 1] - X_traj[i]                 # (ns, nx)
         alive = alive & jnp.all(jnp.abs(diff) < ci[i], axis=-1)
 
     n_alive = jnp.sum(alive)
 
-    # resample rejected realizations' datasets from the survivors
+    # resample rejected realizations' datasets from the survivors; when
+    # nothing survives the data stays untouched (ref: src/agent.py:418)
     probs = jnp.where(alive, 1.0, 0.0)
     probs = probs / jnp.maximum(n_alive, 1)
     donors = jax.random.choice(jax.random.fold_in(key, 1), spec.ns,
                                (spec.ns,), p=probs)
-    src = jnp.where(alive, jnp.arange(spec.ns), donors)
+    keep = alive | (n_alive == 0)
+    src = jnp.where(keep, jnp.arange(spec.ns), donors)
     gp = gp._replace(hall_Z=gp.hall_Z[src], hall_Y=gp.hall_Y[src])
     return gp, n_alive

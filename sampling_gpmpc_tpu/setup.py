@@ -48,3 +48,20 @@ def force_cpu_mesh(n_devices: int = 8) -> None:
         + f" --xla_force_host_platform_device_count={n_devices}"
     )
     jax.config.update("jax_platforms", "cpu")
+
+
+def full_precision(fn):
+    """Trace `fn` under full-f32 matmul precision.
+
+    TPU default matmuls use bf16 passes; IPM Schur complements and GP
+    posterior covariances (differences of near-equal matrices) need the
+    full-precision path — see CLAUDE.md numerics notes.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped

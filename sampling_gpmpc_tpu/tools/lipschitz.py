@@ -20,13 +20,18 @@ from sampling_gpmpc_tpu.envs.base import Env
 
 
 def closed_loop_jacobian(env: Env, xu, K):
-    """A - B K at one point from the true-dynamics oracle."""
+    """A + B K at one point from the true-dynamics oracle.
+
+    K follows the config convention (the controller applies
+    u = -K(x_eq - x), so du/dx = +K; the YAML gains are the *negated*
+    DARE gains, e.g. params_pendulum1D_samples.yaml terminal_tightening.K).
+    """
     spec = env.spec
     dg = env.g_prior(env.g_inputs(xu))
     comb = env.assemble_val_jac(xu, dg)
     A = comb[:, 1:1 + spec.nx]
     B = comb[:, 1 + spec.nx:]
-    return A - B @ K
+    return A + B @ K
 
 
 def estimate_lipschitz(env: Env, P, K, x_grid, u_grid) -> float:

@@ -55,7 +55,10 @@ def synthesize(env: Env, x_eq, u_eq, Qx, Qu, x_min, x_max, u_min, u_max,
     Qx = np.asarray(Qx, dtype=np.float64)
     Qu = np.asarray(Qu, dtype=np.float64)
     P = scipy.linalg.solve_discrete_are(A0, B0, Qx, Qu)
-    K = np.linalg.inv(Qu + B0.T @ P @ B0) @ (B0.T @ P @ A0)
+    # negate the DARE gain into the config convention: the controller
+    # applies u = -K(x_eq - x), so the stabilizing config gain is -K_dare
+    # (matching the signs of the published terminal_tightening.K values)
+    K = -np.linalg.inv(Qu + B0.T @ P @ B0) @ (B0.T @ P @ A0)
 
     # contraction factor over the sampled vertices
     w, V = np.linalg.eigh(P)

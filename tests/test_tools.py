@@ -46,7 +46,8 @@ def test_lipschitz_estimate_near_config_value(pend_env):
     (P, K) should land near the published Lipschitz constant 0.96."""
     params, spec, data, env = pend_env
     grid = grid_around([2.1, -2.5, -5.0], [3.6, 2.5, 5.0], 7)
-    L = estimate_lipschitz(env, data.P_term, -data.K_fb,
+    # config-convention gain (closed loop A + B K)
+    L = estimate_lipschitz(env, data.P_term, data.K_fb,
                            grid[:, :2], grid[:, 2:])
     assert 0.8 < L < 1.1, L
 
@@ -63,7 +64,7 @@ def test_terminal_set_synthesis(pend_env):
     # guarantee; the full-ellipse certificate is the rho < 1 vertex check)
     w, V = np.linalg.eigh(ts.P)
     x_b = data.goal + V[:, 0] / np.sqrt(w[0]) * ts.delta * 0.3
-    u = ts.K @ (data.goal - x_b)   # DARE convention: u = -K(x - x_eq)
+    u = -ts.K @ (data.goal - x_b)   # config convention: u = -K(x_eq - x)
     x_n = np.asarray(env.discrete_dyn(jnp.asarray(x_b), jnp.asarray(u)))
     v_b = (x_b - data.goal) @ ts.P @ (x_b - data.goal)
     v_n = (x_n - data.goal) @ ts.P @ (x_n - data.goal)
