@@ -70,3 +70,42 @@ def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
     jitted = jax.jit(mapped)
     return lambda st_curr, X0, U0, gp0, eps_iters: jitted(
         st_curr, X0, U0, gp0, eps_iters, ocp)
+
+
+def make_sharded_rollout(spec: ProblemSpec, env, hyp, mesh: Mesh,
+                         axis: str = "ns", use_feedback=None):
+    """ns-sharded forward-sampling reachability rollout.
+
+    Realizations are fully independent (no collectives at all): this is
+    the reference's 2500-SLURM-job workload as one sharded array program
+    (ref: benchmarking/euler_job.sh, simulate_forward_sampling_car.py).
+    The per-shard key is folded with the shard index so realization draws
+    stay independent across devices.
+    """
+    import jax.numpy as jnp
+
+    from sampling_gpmpc_tpu.reachability import forward_sample_rollout
+
+    n_dev = mesh.shape[axis]
+    assert spec.ns % n_dev == 0
+    local_spec = dataclasses.replace(spec, ns=spec.ns // n_dev)
+    gp_spec = GPState(real_Z=P(), real_Y=P(),
+                      real_fact={"L": P(), "w": P(), "mask": P()},
+                      hall_Z=P(axis), hall_Y=P(axis), hall_n=P())
+
+    def body(gp0, x0, U, key):
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        X, gp = forward_sample_rollout(local_spec, env, hyp, gp0, x0, U,
+                                       shard_key, use_feedback=use_feedback)
+        return X, gp
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(gp_spec, P(), P(), P()),
+        out_specs=(P(None, axis), gp_spec),
+    )
+    try:
+        mapped = shard_map(body, check_vma=False, **kwargs)
+    except TypeError:
+        mapped = shard_map(body, check_rep=False, **kwargs)
+    return jax.jit(mapped)

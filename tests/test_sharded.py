@@ -76,3 +76,28 @@ def test_sharded_two_vs_eight_devices(problem):
     # reduction order differs between shard counts: tolerance is fp-noise
     np.testing.assert_allclose(np.asarray(out2.U), np.asarray(out8.U),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_rollout(problem):
+    """ns-sharded forward-sampling reachability: correct shapes, finite,
+    realizations diverge, deterministic per key."""
+    import jax.numpy as jnp
+    from sampling_gpmpc_tpu.parallel.sharded import make_sharded_rollout
+
+    params, spec, data, env = problem
+    dtype = jnp.float64
+    hyp = GPHyperArrays.from_spec(spec.gp, dtype)
+    T = 5
+    gp = agent_mod.init_gp_state(spec, env, dtype, capacity=T)
+    U = jnp.zeros((T, spec.nu), dtype) + 0.5
+    x0 = jnp.asarray(data.start, dtype)
+    mesh = sample_mesh(8)
+    roll = make_sharded_rollout(spec, env, hyp, mesh)
+    X1, gp1 = roll(gp, x0, U, jax.random.PRNGKey(5))
+    X2, _ = roll(gp, x0, U, jax.random.PRNGKey(5))
+    X1 = np.asarray(X1)
+    assert X1.shape == (T + 1, spec.ns, spec.nx)
+    assert np.all(np.isfinite(X1))
+    np.testing.assert_array_equal(X1, np.asarray(X2))
+    assert np.ptp(X1[-1], axis=0).max() > 1e-6
+    assert int(gp1.hall_n) == T
