@@ -171,10 +171,14 @@ def _render_video(data, params, out_dir, nx, dims, tilde_eps, P):
     import matplotlib.animation as manimation
     try:
         writer = manimation.FFMpegWriter(fps=5)
-    except Exception:  # ffmpeg missing: skip silently like a soft dep
-        return None
+        out = os.path.join(out_dir, "video_gp.mp4")
+    except Exception:
+        writer = None
+    if writer is None or not manimation.FFMpegWriter.isAvailable():
+        # no ffmpeg in the image: fall back to an animated GIF
+        writer = manimation.PillowWriter(fps=5)
+        out = os.path.join(out_dir, "video_gp.gif")
     fig, ax = plt.subplots()
-    out = os.path.join(out_dir, "video_gp.mp4")
     with writer.saving(fig, out, dpi=150):
         for X_flat in data["state_traj"]:
             ax.clear()
