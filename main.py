@@ -33,8 +33,13 @@ def main():
     from sampling_gpmpc_tpu.recorder import Recorder
 
     here = os.path.dirname(os.path.abspath(__file__))
-    params, spec, data = load_problem(
-        os.path.join(here, "params", args.param + ".yaml"))
+    cfg = os.path.join(here, "params", args.param + ".yaml")
+    if not os.path.exists(cfg):
+        avail = sorted(f[:-5] for f in os.listdir(os.path.join(here, "params"))
+                       if f.endswith(".yaml"))
+        raise SystemExit(f"unknown config '{args.param}'; available: "
+                         + ", ".join(avail))
+    params, spec, data = load_problem(cfg)
     params["env"]["i"] = args.i
     params["env"]["name"] = args.env
 
@@ -55,8 +60,9 @@ def main():
     artifact = rec.save_data()
     times = out["solver_time"]
     print(f"saved {artifact}")
-    print(f"solver time mean={np.mean(times[1:]):.4f}s "
-          f"std={np.std(times[1:]):.4f}s (first/compile {times[0]:.2f}s)")
+    steady = times[1:] if len(times) > 1 else times
+    print(f"solver time mean={np.mean(steady):.4f}s "
+          f"std={np.std(steady):.4f}s (first/compile {times[0]:.2f}s)")
     print(f"final state: {out['final_state']}")
 
 

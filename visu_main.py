@@ -33,7 +33,11 @@ def main():
     run_dir = os.path.join(
         here, "experiments", params["experiment"]["folder"],
         f"env_{args.env}", args.param, str(args.i))
-    rec = Recorder.load(os.path.join(run_dir, "data.pkl"))
+    artifact = os.path.join(run_dir, "data.pkl")
+    if not os.path.exists(artifact):
+        raise SystemExit(f"no artifact at {artifact} — run main.py with the "
+                         f"same -param/-env/-i first")
+    rec = Recorder.load(artifact)
 
     tilde_eps, P = None, None
     if spec.use_tightening and data.P_term is not None:
