@@ -29,6 +29,28 @@ class Rows(NamedTuple):
     hi: jnp.ndarray   # (m,)
 
 
+def row_counts(spec: ProblemSpec):
+    """Static (canonical-hard, soft) row counts of the condensed QP.
+
+    Must mirror build_hard_rows/build_soft_rows exactly; used to size the
+    warm-start state carried across SQP/MPC iterations.  Under sharding the
+    counts are per-shard (callers pass the local spec).
+    """
+    nU = spec.H * spec.nu
+    n_hard = nU
+    if spec.n_ellipses == 0:
+        n_hard += spec.ns * spec.H * spec.nx
+    if spec.use_feedback:
+        n_hard += spec.ns * spec.H * spec.nu
+    m_s = 0
+    if spec.has_terminal_ellipse:
+        m_s += spec.ns
+    if spec.n_ellipses > 0:
+        m_s += spec.ns * (spec.H + 1) * spec.n_ellipses
+        m_s += spec.ns * spec.H * spec.nx
+    return 2 * n_hard, m_s
+
+
 def build_cost(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar,
                axis_name=None):
     """Condensed Hessian/gradient of the (expected) tracking cost + LM.

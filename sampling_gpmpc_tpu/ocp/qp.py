@@ -45,6 +45,8 @@ class QPSolution(NamedTuple):
     iters: jnp.ndarray
     status: jnp.ndarray       # 0 = converged, 4 = max-iter without tolerance
     gap: jnp.ndarray
+    state: tuple = None       # full primal-dual iterate (unscaled; for warm
+    #   starts across SQP/MPC iterations, ref: src/utils/ocp.py:310)
 
 
 
@@ -159,7 +161,8 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
 @full_precision
 def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
                   tol: float = None, max_iter: int = 150,
-                  axis_name=None) -> QPSolution:
+                  axis_name=None, ws: tuple = None,
+                  ws_valid=None) -> QPSolution:
     """Structured PDIP with analytic slack elimination (HPIPM-style).
 
     Solves   min_u  0.5 u'Hu + g'u + sum_j [zl sl + 0.5 Zl sl^2
@@ -175,6 +178,16 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
 
     All row quantities are local under ``axis_name``; reductions mirror
     :func:`solve_qp`.
+
+    Warm starting (``ws`` + ``ws_valid``, the HPIPM ``qp_solver_warm_start``
+    analog, ref: src/utils/ocp.py:310): ``ws`` is the ``state`` tuple of a
+    previous solve with the SAME row structure (consecutive SQP/MPC
+    iterations re-linearize the same constraints).  Duals are reused as-is;
+    primal slacks are recomputed from the carried primal point against the
+    CURRENT bounds; per-pair complementarity is floored at a fraction of
+    the warm target so off-center pairs don't block steps.  ``ws_valid``
+    is a traced bool selecting warm vs central-path cold start elementwise
+    (keeps the jitted structure static across the first iteration).
     """
     nU = g.shape[0]
     dtype = g.dtype
@@ -311,6 +324,71 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     st0 = (u0, one_s, one_s, th0, mu0 / th0, tU0, mu0 / tU0, tL0, mu0 / tL0,
            mu0 * one_s, mu0 * one_s)
 
+    if ws is not None:
+        # Duals-only warm start: carry the multipliers (and soft-slack
+        # magnitudes), restart the primal at u=0 like the cold start.
+        # Carrying the previous primal point was measured consistently
+        # WORSE than cold on MPC transients (blocked steps off tight
+        # slacks); duals-only beats cold everywhere.  Carried (unscaled)
+        # quantities map into this call's row scaling as λ' = a·λ,
+        # slack' = slack/a (complementarity invariant).
+        (u_w, sl_w, su_w, _, lh_w, _, lU_w, _, lL_w, nl_w, nu_w) = ws
+        lh_w = lh_w * scale_h
+        sl_w, su_w = sl_w / scale_s, su_w / scale_s
+        lU_w, lL_w = lU_w * scale_s, lL_w * scale_s
+        nl_w, nu_w = nl_w * scale_s, nu_w * scale_s
+        # Warm complementarity target scaled to the warm point's quality:
+        # a stale point (large dual residual) must start near the cold
+        # mu0 — pairing small mu with a big residual stalls the IPM in
+        # tiny centrality-limited steps (measured: 100+ iterations on MPC
+        # transients).  Near-optimal carries (steady state) get the small
+        # target and converge in ~3 iterations.
+        # staleness = stationarity residual of the carried PAIR (u_w, λ_w)
+        # under the CURRENT data; u_w itself is not used as the start point
+        r_w = H @ u_w + g + psum(G_h.T @ lh_w + (G_s.T @ (lU_w - lL_w)
+                                                 if m_s else 0.0))
+        rq = pmax(jnp.max(jnp.abs(r_w))) / qscale
+        tau = jnp.clip(rq, 1e-4, 1.0)
+        mu_ws = mu0 * tau
+        # Per-pair complementarity re-centered into [0.1, 10]·mu_ws around
+        # primal-feasible slacks at u=0 — pairs far below the warm target
+        # block steps, pairs far above (active set changed between
+        # linearizations) stall centering.  A dual-centered alternative
+        # (slack = mu_ws/λ, carried duals kept) measured faster on small
+        # random chained QPs but ~20 % slower on the real condensed MPC
+        # problems (thousands of near-duplicate sample rows: keeping their
+        # arbitrarily-split active duals with tiny slacks degrades the
+        # Newton systems), so the primal-feasible scheme is used for all
+        # row families.
+        floor, cap = 0.1 * mu_ws, 10.0 * mu_ws
+        tau_h = tau * (1.0 + jnp.abs(d_h))
+        th_w = jnp.maximum(d_h, tau_h)
+        lh_w = jnp.clip(lh_w, floor / th_w, cap / th_w)
+        if m_s:
+            sl_w = jnp.maximum(sl_w, tau)
+            su_w = jnp.maximum(su_w, tau)
+            tU_w = jnp.maximum(hi_s + su_w, tau * (1.0 + jnp.abs(hi_s)))
+            tL_w = jnp.maximum(-lo_s + sl_w, tau * (1.0 + jnp.abs(lo_s)))
+            lU_w = jnp.clip(lU_w, floor / tU_w, cap / tU_w)
+            lL_w = jnp.clip(lL_w, floor / tL_w, cap / tL_w)
+            nl_w = jnp.clip(nl_w, floor / sl_w, cap / sl_w)
+            nu_w = jnp.clip(nu_w, floor / su_w, cap / su_w)
+        else:
+            sl_w = su_w = tU_w = lU_w = tL_w = lL_w = nl_w = nu_w = one_s[:0]
+        st_w = (u0, sl_w, su_w, th_w, lh_w, tU_w, lU_w, tL_w, lL_w,
+                nl_w, nu_w)
+        # accept the carry only when (a) the carried pair is close to
+        # optimal for THIS problem (steady-state MPC; stale carries
+        # measured 3x worse than cold on transients) and (b) the assembled
+        # warm point does not start at a worse KKT residual than the cold
+        # central-path point — a cheap guarantee against adversarial
+        # carries (one extra residual evaluation)
+        valid = (jnp.asarray(True) if ws_valid is None else ws_valid)
+        valid = valid & (rq < 1e-2)
+        valid = valid & (kkt_residual(st_w) <= kkt_residual(st0))
+        st0 = jax.tree_util.tree_map(
+            lambda w, c: jnp.where(valid, w, c), st_w, st0)
+
     def compl_sum(st):
         _, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
         return psum(jnp.dot(th, lh_) + jnp.dot(tU, lU) + jnp.dot(tL, lL)
@@ -366,8 +444,14 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         cond, body, (st0, st0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0),
                      jnp.asarray(jnp.inf, dtype)))
     status = jnp.where(best_res <= jnp.asarray(tol, dtype) * 1e3, 0, 4)
+    # undo the row equilibration so the carried state is scale-independent
+    (u_b, sl_b, su_b, th_b, lh_b, tU_b, lU_b, tL_b, lL_b, nl_b, nu_b) = best
+    state = (u_b, sl_b * scale_s, su_b * scale_s, th_b * scale_h,
+             lh_b / scale_h, tU_b * scale_s, lU_b / scale_s,
+             tL_b * scale_s, lL_b / scale_s, nl_b / scale_s,
+             nu_b / scale_s)
     return QPSolution(z=best[0], lam=best[4], s=best[3], iters=it,
-                      status=status, gap=best_res)
+                      status=status, gap=best_res, state=state)
 
 
 def boxes_to_rows(Gl, lo, hi):

@@ -29,7 +29,7 @@ from sampling_gpmpc_tpu.config import ProblemSpec
 from sampling_gpmpc_tpu.envs.base import Env
 from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
 from sampling_gpmpc_tpu.ocp.assemble import (build_cost, build_hard_rows,
-                                             build_soft_rows)
+                                             build_soft_rows, row_counts)
 from sampling_gpmpc_tpu.ocp.condense import condense_parallel as condense
 from sampling_gpmpc_tpu.ocp.qp import boxes_to_rows, solve_qp_soft
 from sampling_gpmpc_tpu.ocp.spec import OCPData
@@ -44,6 +44,18 @@ class SolveState(NamedTuple):
     it: jnp.ndarray       # sqp iteration counter
     status: jnp.ndarray   # 0 ok
     done: jnp.ndarray     # convergence flag
+    qp_ws: tuple          # PDIP warm-start state (ref: src/utils/ocp.py:310)
+    qp_valid: jnp.ndarray  # bool: qp_ws holds a usable previous solution
+    qp_iters: jnp.ndarray  # cumulative PDIP iterations (diagnostics)
+
+
+def init_qp_ws(spec: ProblemSpec, dtype):
+    """Placeholder warm-start state (selected away while qp_valid=False)."""
+    m_h, m_s = row_counts(spec)
+    nU = spec.H * spec.nu
+    z = lambda n: jnp.ones((n,), dtype)
+    return (jnp.zeros((nU,), dtype), z(m_s), z(m_s), z(m_h), z(m_h),
+            z(m_s), z(m_s), z(m_s), z(m_s), z(m_s), z(m_s))
 
 
 def init_iterate(spec: ProblemSpec, dtype, start=None):
@@ -72,7 +84,7 @@ def _linearization_inputs(spec: ProblemSpec, ocp: OCPData, X, U):
 
 def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                   ocp: OCPData, st_curr, X, U, gp: GPState, eps,
-                  axis_name=None):
+                  axis_name=None, qp_ws=None, qp_valid=None):
     """One full SQP-RTI iteration; returns updated (X, U, gp, status).
 
     With ``axis_name`` this body runs inside shard_map over the sample axis:
@@ -99,23 +111,28 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     soft, (zl, zu, Zl, Zu) = build_soft_rows(spec, ocp, T, Gamma, X)
     C_h, d_h = boxes_to_rows(hard.G, hard.lo, hard.hi)
     sol = solve_qp_soft(H_U, g_U, C_h, d_h, soft.G, soft.lo, soft.hi,
-                        zl, zu, Zl, Zu, axis_name=axis_name)
+                        zl, zu, Zl, Zu, axis_name=axis_name,
+                        ws=qp_ws, ws_valid=qp_valid)
 
     dU = sol.z[:H * nu]
     dX = T + jnp.einsum("ikau,u->ika", Gamma, dU)           # (ns, H+1, nx)
     X_new = X + jnp.swapaxes(dX, 0, 1)
     U_new = U + dU.reshape(H, nu)
-    return X_new, U_new, gp, sol.status
+    return X_new, U_new, gp, sol
 
 
 def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
-          st_curr, X0, U0, gp0: GPState, eps_iters, axis_name=None):
+          st_curr, X0, U0, gp0: GPState, eps_iters, axis_name=None,
+          qp_ws=None, qp_valid=None):
     """Full SQP solve for one MPC step.
 
     Args:
         st_curr: (nx,) measured state (x0 equality bound).
         X0, U0: warm-start iterate.
         eps_iters: (max_sqp_iter, ns, g_ny, H, Ty) epistemic draws.
+        qp_ws, qp_valid: PDIP warm-start state from the previous MPC step
+            (ref: src/utils/ocp.py:310 HPIPM warm start); consecutive SQP
+            iterations warm-start from each other automatically.
     Returns:
         SolveState after convergence or max_sqp_iter iterations.
     """
@@ -126,9 +143,10 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
 
     def body(s: SolveState):
         eps = jax.lax.dynamic_index_in_dim(eps_iters, s.it, keepdims=False)
-        X, U, gp, status = sqp_iteration(
+        X, U, gp, sol = sqp_iteration(
             spec, env, hyp, ocp, st_curr, s.X, s.U, s.gp, eps,
-            axis_name=axis_name)
+            axis_name=axis_name, qp_ws=s.qp_ws, qp_valid=s.qp_valid)
+        status = sol.status
         # relative-change convergence on the *next* iteration's entry check
         # (ref: solver.py:57-81 compares consecutive post-QP iterates);
         # under sharding the Frobenius norms reduce over all shards
@@ -143,9 +161,15 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
         u_diff = jnp.linalg.norm(U - s.U) / (jnp.linalg.norm(s.U) + 1e-6)
         done = (x_diff < spec.tol_nlp) & (u_diff < spec.tol_nlp)
         return SolveState(X=X, U=U, X_prev=s.X, U_prev=s.U, gp=gp,
-                          it=s.it + 1, status=status, done=done)
+                          it=s.it + 1, status=status, done=done,
+                          qp_ws=sol.state, qp_valid=jnp.asarray(True),
+                          qp_iters=s.qp_iters + sol.iters)
 
+    if qp_ws is None:
+        qp_ws = init_qp_ws(spec, X0.dtype)
+        qp_valid = jnp.asarray(False)
     init = SolveState(
         X=X0, U=U0, X_prev=X0, U_prev=U0, gp=gp0,
-        it=jnp.asarray(0), status=jnp.asarray(0), done=jnp.asarray(False))
+        it=jnp.asarray(0), status=jnp.asarray(0), done=jnp.asarray(False),
+        qp_ws=qp_ws, qp_valid=qp_valid, qp_iters=jnp.asarray(0))
     return jax.lax.while_loop(cond, body, init)

@@ -47,9 +47,13 @@ def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
     gp_spec = GPState(real_Z=P(), real_Y=P(),
                       real_fact={"L": P(), "w": P(), "mask": P()},
                       hall_Z=P(axis), hall_Y=P(axis), hall_n=P())
+    # QP warm-start state: dU replicated, constraint-row quantities are
+    # shard-local (each shard owns its samples' rows)
+    ws_spec = (P(),) + (P(axis),) * 10
     state_spec = sqp.SolveState(
         X=P(None, axis), U=P(), X_prev=P(None, axis), U_prev=P(),
-        gp=gp_spec, it=P(), status=P(), done=P())
+        gp=gp_spec, it=P(), status=P(), done=P(),
+        qp_ws=ws_spec, qp_valid=P(), qp_iters=P())
 
     # OCPData: only the per-sample cost weights are sharded
     ocp_specs = type(ocp)(*([P()] * len(ocp)))._replace(w_cost=P(axis))
