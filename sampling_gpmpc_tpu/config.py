@@ -144,17 +144,6 @@ def _gp_hyper(params: dict) -> GPHyper:
     )
 
 
-# env registry metadata: (g_idx_inputs, pad_g) per dynamics name
-# (ref: pendulum.py:13-14, pendulum1D.py:15-16, car_model.py:11-12,
-#  car_model_residual.py:14-16)
-_ENV_META = {
-    "pendulum": {"g_idx": (0, 1, 2), "pad_g": (0, 1, 2, 3)},
-    "Pendulum1D": {"g_idx": (0, 2), "pad_g": (0, 1, 3)},
-    "bicycle": {"g_idx": (2, 3, 4), "pad_g": (0, 3, 4, 5)},
-    "bicycle_Bdx": {"g_idx": (2, 4), "pad_g": (0, 3, 4, 5)},
-}
-
-
 def make_spec(params: dict) -> ProblemSpec:
     ag, opt, env, common = (params["agent"], params["optimizer"],
                             params["env"], params["common"])
@@ -172,7 +161,10 @@ def make_spec(params: dict) -> ProblemSpec:
     env.setdefault("use_model_without_derivatives", False)
     common.setdefault("dynamics_rejection", False)
     dyn = env["dynamics"]
-    meta = _ENV_META[dyn]
+    # each env module declares its GP index metadata (function-level import:
+    # the env modules import this module for ProblemSpec)
+    from sampling_gpmpc_tpu.envs import env_meta
+    meta = env_meta(dyn)
     use_deriv = not env["use_model_without_derivatives"]
     g_nx, g_nu = ag["g_dim"]["nx"], ag["g_dim"]["nu"]
     tt = opt.get("terminal_tightening", None)

@@ -49,9 +49,11 @@ class DEMPC:
         self.recorder = recorder
 
         self._solve = jax.jit(
-            lambda st, X, U, gp, eps: sqp.solve(
-                spec, env, self.hyp, self.ocp, st, X, U, gp, eps))
+            lambda st, X, U, gp, eps, ws, wv: sqp.solve(
+                spec, env, self.hyp, self.ocp, st, X, U, gp, eps,
+                qp_ws=ws, qp_valid=wv))
         self._plant = jax.jit(env.discrete_dyn)
+        self._rollouts = jax.jit(self._make_record_rollouts())
 
         if spec.dynamics_rejection:
             from sampling_gpmpc_tpu.reachability import reject_and_resample
@@ -68,18 +70,83 @@ class DEMPC:
                     use_feedback=fb))
             self._reject_key = jax.random.PRNGKey(spec.seed + 1)
 
+    def _make_record_rollouts(self):
+        """Build the jitted recorder probes: the plan's inputs rolled through
+        (a) the true dynamics — the linearization-error probe (ref:
+        src/visu.py:486-491) — and (b) the real-data GP posterior-mean
+        dynamics (ref: src/visu.py:235-258 propagate_mean_dyn).  Both run as
+        one ``lax.scan`` per MPC step: on the TPU relay this costs a single
+        RPC instead of H eager per-step calls."""
+        from sampling_gpmpc_tpu.gp.kernel import kernel_matrix
+        from sampling_gpmpc_tpu.setup import full_precision
+
+        spec, env, data = self.spec, self.env, self.data
+        hyp = self.hyp
+        use_fb = spec.use_feedback
+        g_idx = np.asarray(spec.g_idx_inputs)
+        wg = spec.use_derivatives
+
+        @full_precision
+        def rollouts(x0, U, Z_r, rf):
+            K = jnp.asarray(data.K_fb, x0.dtype) if use_fb else None
+            x_eq = jnp.asarray(data.goal, x0.dtype)
+            # mean = (Kx ⊙ m) @ L^-T w  ==  Kx @ (m ⊙ L^-T w)
+            alpha = jax.vmap(
+                lambda L, w, m: m * jax.scipy.linalg.solve_triangular(
+                    L.T, w, lower=False))(rf["L"], rf["w"], rf["mask"])
+
+            def eff_u(x, u_t):
+                return u_t - (x_eq - x) @ K.T if use_fb else u_t
+
+            def step_true(x, u_t):
+                xn = env.discrete_dyn(x, eff_u(x, u_t))
+                return xn, xn
+
+            def gp_mean_rows(xt):
+                def one(ls, os_, a):
+                    Kx = kernel_matrix(xt[None], Z_r, ls, os_, wg)
+                    return (Kx @ a)[:spec.Ty]
+                return jax.vmap(one)(hyp.lengthscale, hyp.outputscale, alpha)
+
+            def step_mean(x, u_t):
+                u = eff_u(x, u_t)
+                xu = jnp.concatenate([x, u])
+                dg = gp_mean_rows(xu[g_idx])          # (g_ny, Ty)
+                xn = env.assemble_val_jac(xu, dg)[:, 0]
+                return xn, xn
+
+            _, Xt = jax.lax.scan(step_true, x0, U)
+            _, Xm = jax.lax.scan(step_mean, x0, U)
+            return (jnp.concatenate([x0[None], Xt], axis=0),
+                    jnp.concatenate([x0[None], Xm], axis=0))
+
+        return rollouts
+
+    def record_rollouts(self, x0, U):
+        """True-dynamics + GP-mean re-propagation of a plan (numpy out)."""
+        t, m = self._rollouts(jnp.asarray(x0, self.dtype),
+                              jnp.asarray(U, self.dtype),
+                              self.gp_state.real_Z, self.gp_state.real_fact)
+        return np.asarray(t), np.asarray(m)
+
     def run(self, x0: Optional[np.ndarray] = None):
         """Full closed loop (ref: src/DEMPC.py:39-80). Returns trajectories."""
         spec = self.spec
         x_curr = jnp.asarray(x0 if x0 is not None else self.data.start,
                              self.dtype)
         X, U = sqp.init_iterate(spec, self.dtype, self.data.start)
-        phys, inputs, plans, times = [], [], [], []
+        phys, inputs, plans, times, survivors = [], [], [], [], []
+        # QP warm start carries across MPC steps (the row structure is
+        # identical; ref: src/utils/ocp.py:310 HPIPM warm start)
+        qp_ws = sqp.init_qp_ws(spec, self.dtype)
+        qp_valid = jnp.asarray(False)
 
         for m in range(spec.num_mpc_iter):
             t0 = time.perf_counter()
-            st = self._solve(x_curr, X, U, self.gp_state, self.epistemic[m])
+            st = self._solve(x_curr, X, U, self.gp_state, self.epistemic[m],
+                             qp_ws, qp_valid)
             st.X.block_until_ready()
+            qp_ws, qp_valid = st.qp_ws, st.qp_valid
             dt_solve = time.perf_counter() - t0
 
             X, U, self.gp_state = st.X, st.U, st.gp
@@ -110,6 +177,11 @@ class DEMPC:
                 self._reject_key, sub = jax.random.split(self._reject_key)
                 self.gp_state, n_alive = self._reject(
                     self.gp_state, X, U, x_curr, sub)
+                survivors.append(int(n_alive))
+                if self.verbose:
+                    # per-step survivor count (ref: src/agent.py:354,394)
+                    print(f"{bcolors.OKCYAN}Samples remaining in N(k+1): "
+                          f"{int(n_alive)}/{spec.ns}{bcolors.ENDC}")
             if spec.shift_soln:
                 X, U = shift_solution(spec, X, U)
 
@@ -121,4 +193,5 @@ class DEMPC:
             "final_state": np.asarray(x_curr),
             "sqp_iters": int(st.it),
             "sqp_status": int(st.status),
+            "rejection_survivors": survivors,
         }

@@ -42,6 +42,11 @@ def make_f_val_jac(spec: ProblemSpec):
     return f_val_jac
 
 
+# GP input filter / jacobian scatter slots (ref: src/environments/car_model.py:11-12)
+G_IDX_INPUTS = (2, 3, 4)
+PAD_G = (0, 3, 4, 5)
+
+
 def make(spec: ProblemSpec, params: dict) -> Env:
     ep = params["env"]["params"]
     lf, lr = float(ep["lf"]), float(ep["lr"])

@@ -21,6 +21,11 @@ from sampling_gpmpc_tpu.envs.base import Env, grid_training_data
 from sampling_gpmpc_tpu.envs.car import _beta_terms, make_f_val_jac
 
 
+# GP input filter / jacobian scatter slots (ref: src/environments/car_model_residual.py:14-16)
+G_IDX_INPUTS = (2, 4)
+PAD_G = (0, 3, 4, 5)
+
+
 def make(spec: ProblemSpec, params: dict) -> Env:
     ep = params["env"]["params"]
     lf, lr = float(ep["lf"]), float(ep["lr"])

@@ -16,6 +16,11 @@ from sampling_gpmpc_tpu.config import ProblemSpec
 from sampling_gpmpc_tpu.envs.base import Env, grid_training_data, identity_transform
 
 
+# GP input filter / jacobian scatter slots (ref: src/environments/pendulum.py:13-14)
+G_IDX_INPUTS = (0, 1, 2)
+PAD_G = (0, 1, 2, 3)
+
+
 def make(spec: ProblemSpec, params: dict) -> Env:
     ep = params["env"]["params"]
     length, grav = float(ep["l"]), float(ep["g"])

@@ -15,6 +15,11 @@ from sampling_gpmpc_tpu.config import ProblemSpec
 from sampling_gpmpc_tpu.envs.base import Env, grid_training_data, identity_transform
 
 
+# GP input filter / jacobian scatter slots (ref: src/environments/pendulum1D.py:15-16)
+G_IDX_INPUTS = (0, 2)
+PAD_G = (0, 1, 3)
+
+
 def make(spec: ProblemSpec, params: dict) -> Env:
     ep = params["env"]["params"]
     length, grav = float(ep["l"]), float(ep["g"])

@@ -164,10 +164,11 @@ def reject_and_resample(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
 
     # tube checks against the plan's stages 2..H: X_traj[i] is the
     # realization's prediction of stage i+1, whose tube radius is ci[i]
-    # (ci[k-1] is stage k's radius; ref: src/agent.py:362-396)
-    for i in range(1, H):
-        diff = X_plan[i + 1] - X_traj[i]                 # (ns, nx)
-        alive = alive & jnp.all(jnp.abs(diff) < ci[i], axis=-1)
+    # (ci[k-1] is stage k's radius; ref: src/agent.py:362-396).  One
+    # vectorized comparison over all H-1 stages — no Python-range unroll.
+    diff = X_plan[2:H + 1] - X_traj[1:H]                 # (H-1, ns, nx)
+    radii = jnp.asarray(ci, dtype)[1:H, None, None]
+    alive = alive & jnp.all(jnp.abs(diff) < radii, axis=(0, 2))
 
     n_alive = jnp.sum(alive)
 

@@ -14,7 +14,6 @@ import os
 import pickle
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -52,19 +51,13 @@ class Recorder:
         self.solver_time.append(solve_time)
 
         if mpc is not None:
-            # roll the plan's input sequence through the true dynamics —
-            # the linearization-error probe (ref: src/visu.py:486-491)
-            env, data = mpc.env, mpc.data
-            x = jnp.asarray(X[0, 0])
-            states = [np.asarray(x)]
-            for k in range(U.shape[0]):
-                u = jnp.asarray(U[k])
-                if spec.use_feedback:
-                    u = u - (jnp.asarray(data.goal) - x) @ jnp.asarray(
-                        data.K_fb).T
-                x = env.discrete_dyn(x, u)
-                states.append(np.asarray(x))
-            self.true_state_traj.append(np.stack(states))
+            # roll the plan's input sequence through the true dynamics (the
+            # linearization-error probe, ref: src/visu.py:486-491) and the
+            # real-data GP posterior-mean dynamics (ref: src/visu.py:235-258)
+            # — one jitted scan each, a single device call per MPC step
+            true_traj, mean_traj = mpc.record_rollouts(X[0, 0], U)
+            self.true_state_traj.append(true_traj)
+            self.mean_state_traj.append(mean_traj)
 
             gp = mpc.gp_state
             n = int(gp.hall_n)

@@ -101,3 +101,27 @@ def test_reject_and_resample(small_problem):
     assert int(n_alive) == spec.ns
     np.testing.assert_allclose(np.asarray(gp3.hall_Z[:, 0, 0, 0]),
                                np.arange(spec.ns), atol=0)
+
+
+def test_closed_loop_with_rejection(small_problem):
+    """End-to-end closed loop with dynamics_rejection: True on a real config
+    (ref: src/DEMPC.py:69-70 + src/agent.py:331-443): the run completes,
+    survivor counts are recorded, and the loop still makes progress."""
+    import dataclasses as dc
+
+    from sampling_gpmpc_tpu.dempc import DEMPC
+
+    params, spec, data, env, hyp, dtype = small_problem
+    spec = dc.replace(spec, dynamics_rejection=True, num_mpc_iter=4)
+    params = dict(params)
+    mpc = DEMPC(params, spec, data, env, dtype=dtype)
+    out = mpc.run()
+    assert len(out["rejection_survivors"]) == 4
+    assert all(0 <= n <= spec.ns for n in out["rejection_survivors"])
+    # the tube radii of this config are generous enough that the plan's
+    # own realizations are not all discarded every step
+    assert max(out["rejection_survivors"]) > 0
+    # closed loop still moves toward the goal
+    start_err = abs(float(data.start[0]) - float(data.goal[0]))
+    final_err = abs(float(out["final_state"][0]) - float(data.goal[0]))
+    assert final_err < start_err

@@ -34,16 +34,20 @@ def test_artifact_roundtrip(short_run):
     loaded = Recorder.load(path)
     # the reference artifact contract (ref: src/visu.py:497-517)
     for key in ["state_traj", "input_traj", "physical_state_traj",
-                "true_state_traj", "solver_time", "tilde_eps_list",
-                "ci_list", "gp_model_after_solve_train_X",
+                "true_state_traj", "mean_state_traj", "solver_time",
+                "tilde_eps_list", "ci_list", "gp_model_after_solve_train_X",
                 "gp_model_after_solve_train_Y"]:
         assert key in loaded, key
     assert len(loaded["state_traj"]) == 3
+    assert len(loaded["mean_state_traj"]) == 3
     X0 = loaded["state_traj"][0]
     assert X0.shape == (spec.H + 1, spec.ns * spec.nx)
-    # recorded true-dynamics re-propagation starts at the plan's x0
-    np.testing.assert_allclose(loaded["true_state_traj"][0][0],
-                               X0[0, :spec.nx], atol=1e-9)
+    # recorded re-propagations start at the plan's x0 and span H+1 stages
+    for key in ["true_state_traj", "mean_state_traj"]:
+        traj = loaded[key][0]
+        assert traj.shape == (spec.H + 1, spec.nx)
+        np.testing.assert_allclose(traj[0], X0[0, :spec.nx], atol=1e-9)
+        assert np.all(np.isfinite(traj))
 
 
 def test_render_run(short_run):
