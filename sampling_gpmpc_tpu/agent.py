@@ -125,6 +125,24 @@ def _batched_posterior(spec: ProblemSpec, hyp: GPHyperArrays, Z, Y, Xt):
     return fact, mean, cov
 
 
+def batched_update_factor(spec: ProblemSpec, hyp: GPHyperArrays,
+                          gp: GPState):
+    """Blockwise-update factorization of the hallucination buffer, vmapped
+    over (ns, g_ny).  One O(cap³) Schur factorization — rollouts extend the
+    result per step with exact.append_rows_update instead of re-running it.
+    """
+    wg = spec.use_derivatives
+
+    def upd_one(rf1, Zh1, Yh1, ls, os_):
+        return exact.condition_update(
+            rf1, gp.real_Z, Zh1, Yh1, ls, os_, hyp.noise_diag, hyp.jitter, wg)
+
+    return jax.vmap(jax.vmap(upd_one, in_axes=(0, 0, 0, 0, 0)),
+                    in_axes=(None, 0, 0, None, None))(
+        gp.real_fact, gp.hall_Z, gp.hall_Y,
+        hyp.lengthscale, hyp.outputscale)
+
+
 def _batched_posterior_incremental(spec: ProblemSpec, hyp: GPHyperArrays,
                                    gp: GPState, Xt):
     """Condition + predict via the blockwise update on the cached real
@@ -135,15 +153,7 @@ def _batched_posterior_incremental(spec: ProblemSpec, hyp: GPHyperArrays,
         mean (ns, g_ny, Ht), cov (ns, g_ny, Ht, Ht).
     """
     wg = spec.use_derivatives
-
-    def upd_one(rf1, Zh1, Yh1, ls, os_):
-        return exact.condition_update(
-            rf1, gp.real_Z, Zh1, Yh1, ls, os_, hyp.noise_diag, hyp.jitter, wg)
-
-    uf = jax.vmap(jax.vmap(upd_one, in_axes=(0, 0, 0, 0, 0)),
-                  in_axes=(None, 0, 0, None, None))(
-        gp.real_fact, gp.hall_Z, gp.hall_Y,
-        hyp.lengthscale, hyp.outputscale)
+    uf = batched_update_factor(spec, hyp, gp)
 
     def pred_one(Xt1, Zh1, rf1, uf1, ls, os_):
         return exact.predict_update(Xt1, gp.real_Z, Zh1, rf1, uf1, ls, os_,
@@ -228,23 +238,28 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     return dg, gp
 
 
-def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
-                Xt, dg, Z_full) -> GPState:
-    """Append this iteration's samples to the hallucination buffer.
+def filter_near_duplicates(spec: ProblemSpec, hyp: GPHyperArrays,
+                           Xt, dg, Z_full):
+    """NaN-mask observations at near-duplicate new points.
 
     Near-duplicate new points (within min_data_dist of any existing
     conditioning point) get NaN observations so they are masked out —
     the static-shape version of the reference's filter
     (ref: src/agent.py:164-202).
+    Returns (newZ, newY) shaped (ns, g_ny, P, ...).
     """
     newZ = jnp.broadcast_to(Xt[:, None], (spec.ns, spec.g_ny) + Xt.shape[1:])
     newY = dg
     if hyp.min_data_dist >= 0.0:
         dist = jnp.linalg.norm(
             newZ[:, :, :, None, :] - Z_full[:, :, None, :, :], axis=-1)
-        too_close = jnp.any(dist <= hyp.min_data_dist, axis=-1)  # (ns,g_ny,H)
+        too_close = jnp.any(dist <= hyp.min_data_dist, axis=-1)  # (ns,g_ny,P)
         newY = jnp.where(too_close[..., None], jnp.nan, newY)
+    return newZ, newY
 
+
+def append_hall_raw(gp: GPState, newZ, newY) -> GPState:
+    """Write pre-filtered rows into the hallucination buffer at hall_n."""
     zero = jnp.zeros((), gp.hall_n.dtype)
     hall_Z = jax.lax.dynamic_update_slice(
         gp.hall_Z, newZ, (zero, zero, gp.hall_n, zero))
@@ -252,6 +267,13 @@ def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
         gp.hall_Y, newY, (zero, zero, gp.hall_n, zero))
     return gp._replace(hall_Z=hall_Z, hall_Y=hall_Y,
                        hall_n=gp.hall_n + newZ.shape[2])
+
+
+def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
+                Xt, dg, Z_full) -> GPState:
+    """Append this iteration's samples to the hallucination buffer."""
+    newZ, newY = filter_near_duplicates(spec, hyp, Xt, dg, Z_full)
+    return append_hall_raw(gp, newZ, newY)
 
 
 def dyn_linearization(spec: ProblemSpec, env: Env, xu: jnp.ndarray,

@@ -273,7 +273,96 @@ def condition_update(rf, Z_r, Z_h, Y_h, hyp_ls, hyp_os, noise_diag, jitter,
     alpha_r = jax.scipy.linalg.solve_triangular(
         rf["L"].T, rf["w"] - C @ alpha_h, lower=False)
     return {"C": C, "L_s": L_s, "alpha_r": alpha_r, "alpha_h": alpha_h,
-            "mask_h": m_h}
+            "w_h": w_h, "mask_h": m_h}
+
+
+@full_precision
+def append_rows_update(rf, uf, Z_r, Z_h, z_new, y_new, pos,
+                       hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool):
+    """Rank-k append of ONE new conditioning point to a block factorization.
+
+    The O(t²)-per-step path of iterative-conditioning rollouts (VERDICT #4;
+    ref: benchmarking/simulate_forward_sampling_car.py:117-137): instead of
+    refactorizing the whole hallucination Schur block each step (O(cap³)),
+    extend the factor by the new point's k = Ty rows:
+
+        C     ← [C, c],   c = L_r⁻¹ A_r,new                (R_r × k solve)
+        L_s   ← [[L_s, 0], [bᵀ, D]],  b = L_s⁻¹(A_h,new − Cᵀc)
+        D     = chol(A_new,new − cᵀc − bᵀb)                 (k × k)
+        w_h   ← [w_h, D⁻¹(ỹ_new − cᵀw_r − bᵀw_h)]
+
+    Empty buffer slots are identity rows of L_s with zero C/w_h/mask
+    entries, so the triangular solves pass through them untouched and the
+    result equals :func:`condition_update` of the filled buffer exactly
+    (modulo jitter placement).
+
+    Args:
+        z_new: (1, D) new input point; y_new: (1, Ty) observation (NaN =
+            masked task, e.g. value-only rollout observations).
+        pos: row offset (filled_slots * Ty) where the new rows land; the
+            caller guarantees pos + Ty <= capacity * Ty.
+    Returns:
+        updated {"C", "L_s", "w_h", "mask_h"} (alphas intentionally absent
+        — predict with :func:`predict_from_w`).
+    """
+    Ty = y_new.shape[-1]
+    grad = with_grad and Ty > 1
+    y = y_new.reshape(-1)
+    m_new = (~jnp.isnan(y)).astype(z_new.dtype)
+    y = jnp.nan_to_num(y) * m_new
+    m_r = rf["mask"]
+
+    A_rn = m_r[:, None] * kernel_matrix(Z_r, z_new, hyp_ls, hyp_os, grad) \
+        * m_new[None, :]
+    A_hn = uf["mask_h"][:, None] \
+        * kernel_matrix(Z_h, z_new, hyp_ls, hyp_os, grad) * m_new[None, :]
+    K_nn = kernel_matrix(z_new, z_new, hyp_ls, hyp_os, grad) \
+        + jnp.diag(noise_diag)
+    A_nn = m_new[:, None] * K_nn * m_new[None, :] + jnp.diag(1.0 - m_new)
+
+    c = jax.scipy.linalg.solve_triangular(rf["L"], A_rn, lower=True)
+    b = jax.scipy.linalg.solve_triangular(
+        uf["L_s"], A_hn - uf["C"].T @ c, lower=True)          # (R_h, k)
+    S = A_nn - c.T @ c - b.T @ b
+    D_blk = safe_cholesky(0.5 * (S + S.T), jitter)
+    w_new = jax.scipy.linalg.solve_triangular(
+        D_blk, y - c.T @ rf["w"] - b.T @ uf["w_h"], lower=True)
+
+    pos = jnp.asarray(pos)
+    zero = jnp.zeros((), pos.dtype)
+    C = jax.lax.dynamic_update_slice(uf["C"], c, (zero, pos))
+    L_s = jax.lax.dynamic_update_slice(uf["L_s"], b.T, (pos, zero))
+    L_s = jax.lax.dynamic_update_slice(L_s, D_blk, (pos, pos))
+    w_h = jax.lax.dynamic_update_slice(uf["w_h"], w_new, (pos,))
+    mask_h = jax.lax.dynamic_update_slice(uf["mask_h"], m_new, (pos,))
+    return {"C": C, "L_s": L_s, "w_h": w_h, "mask_h": mask_h}
+
+
+@full_precision
+def predict_from_w(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, with_grad: bool):
+    """Joint posterior from the w-form block factorization.
+
+    Same math as :func:`predict_update` but recovers the alphas from
+    (w_r, w_h) by two capacity-sized back-substitutions — O(R²) per call,
+    which keeps the incremental-append rollout free of any O(R³) work.
+    """
+    alpha_h = jax.scipy.linalg.solve_triangular(
+        uf["L_s"].T, uf["w_h"], lower=False)
+    alpha_r = jax.scipy.linalg.solve_triangular(
+        rf["L"].T, rf["w"] - uf["C"] @ alpha_h, lower=False)
+
+    Kx_r = kernel_matrix(Xt, Z_r, hyp_ls, hyp_os, with_grad) \
+        * rf["mask"][None, :]
+    Kx_h = kernel_matrix(Xt, Z_h, hyp_ls, hyp_os, with_grad) \
+        * uf["mask_h"][None, :]
+    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+
+    mean = Kx_r @ alpha_r + Kx_h @ alpha_h
+    V_r = jax.scipy.linalg.solve_triangular(rf["L"], Kx_r.T, lower=True)
+    V_h = jax.scipy.linalg.solve_triangular(
+        uf["L_s"], Kx_h.T - uf["C"].T @ V_r, lower=True)
+    cov = Ktt - V_r.T @ V_r - V_h.T @ V_h
+    return mean, 0.5 * (cov + cov.T)
 
 
 @full_precision

@@ -27,17 +27,6 @@ BIG = 1e8
 
 
 
-def _precond_cho_solve(M, rhs, eye, reg):
-    """Jacobi-preconditioned Cholesky solve: keeps f32 factorizations alive
-    when penalty-weighted rows push the Schur complement's condition number
-    past single-precision range."""
-    d = jnp.clip(jnp.diagonal(M), 1e-30)
-    inv_s = jax.lax.rsqrt(d)
-    Ms = inv_s[:, None] * M * inv_s[None, :]
-    L = jnp.linalg.cholesky(Ms + reg * eye)
-    return inv_s * jax.scipy.linalg.cho_solve((L, True), inv_s * rhs)
-
-
 class QPSolution(NamedTuple):
     z: jnp.ndarray
     lam: jnp.ndarray
@@ -92,15 +81,31 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     # barrier parameter up
     lam0 = 1.0 / s0
 
-    def newton(z, lam, s, sigma_mu, ds_dlam_corr):
+    def factorize(z, lam, s):
+        """Residuals + assembled/factored Schur complement, shared by the
+        predictor and corrector solves of one Mehrotra iteration (identical
+        weights => identical matrix; assemble and factor once)."""
         w = lam / s
         r_dual = P @ z + q + psum(C.T @ lam)
         r_prim = C @ z + s - d
-        r_cent = lam * s - sigma_mu + ds_dlam_corr
-        rhs = -r_dual + psum(C.T @ (r_cent / s - w * r_prim))
         M = P + psum((C.T * w) @ C)
-        dz = _precond_cho_solve(M, rhs, eye, reg)
-        ds = -r_prim - C @ dz
+        # Jacobi-preconditioned factorization: keeps f32 Cholesky alive when
+        # penalty-weighted rows push the condition number past single range
+        dmc = jnp.clip(jnp.diagonal(M), 1e-30)
+        inv_s = jax.lax.rsqrt(dmc)
+        Ms = inv_s[:, None] * M * inv_s[None, :]
+        L = jnp.linalg.cholesky(Ms + reg * eye)
+        return {"w": w, "r_dual": r_dual, "r_prim": r_prim,
+                "inv_s": inv_s, "L": L}
+
+    def direction(lam, s, aux, sigma_mu, ds_dlam_corr):
+        r_cent = lam * s - sigma_mu + ds_dlam_corr
+        rhs = -aux["r_dual"] + psum(
+            C.T @ (r_cent / s - aux["w"] * aux["r_prim"]))
+        inv_s = aux["inv_s"]
+        dz = inv_s * jax.scipy.linalg.cho_solve((aux["L"], True),
+                                                inv_s * rhs)
+        ds = -aux["r_prim"] - C @ dz
         dlam = -(r_cent + lam * ds) / s
         return dz, ds, dlam
 
@@ -121,16 +126,17 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     def body(carry):
         z, lam, s, it, _ = carry
         mu = psum(jnp.dot(s, lam)) / m
+        aux = factorize(z, lam, s)
 
         # predictor (affine) step
-        dz_a, ds_a, dlam_a = newton(z, lam, s, 0.0, 0.0)
+        dz_a, ds_a, dlam_a = direction(lam, s, aux, 0.0, 0.0)
         a_p = max_step(s, ds_a)
         a_d = max_step(lam, dlam_a)
         mu_aff = psum(jnp.dot(s + a_p * ds_a, lam + a_d * dlam_a)) / m
         sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
 
         # corrector
-        dz, ds, dlam = newton(z, lam, s, sigma * mu, dlam_a * ds_a)
+        dz, ds, dlam = direction(lam, s, aux, sigma * mu, dlam_a * ds_a)
         alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
         z_n = z + alpha * dz
         s_n = s + alpha * ds
@@ -258,43 +264,67 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
             a = jnp.minimum(a, jnp.min(ratio, initial=jnp.inf))
         return 0.99 * pmin(a)
 
-    def newton(st, sig_mu, corr):
+    def factorize(st):
+        """Per-iteration work shared by predictor and corrector: the barrier
+        weights, residuals, and the assembled+factored Schur complement.
+        The two Newton solves of a Mehrotra iteration use the SAME matrix
+        (same weights), so assembling/factorizing it once halves the
+        iteration's dominant cost."""
         u, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
-        (ch, cU, cL, cPl, cPu) = corr if corr is not None else (0., 0., 0., 0., 0.)
 
         w_h = lh_ / th
-        b_h = (lh_ * th - sig_mu + ch) / th
         rp_h = G_h @ u + th - d_h
         r1 = H @ u + g + psum(G_h.T @ lh_ + G_s.T @ (lU - lL))
 
         if m_s:
             w_U, w_L = lU / tU, lL / tL
             w_Pl, w_Pu = nl / sl, nu_ / su
-            b_U = (lU * tU - sig_mu + cU) / tU
-            b_L = (lL * tL - sig_mu + cL) / tL
-            b_Pl = (nl * sl - sig_mu + cPl) / sl
-            b_Pu = (nu_ * su - sig_mu + cPu) / su
             rp_U = G_s @ u - su + tU - hi_s
             rp_L = -(G_s @ u) - sl + tL + lo_s
             r2 = Zl * sl + zl - lL - nl
             r3 = Zu * su + zu - lU - nu_
-
             Dl = Zl + w_L + w_Pl
             Du = Zu + w_U + w_Pu
-            cl = -r2 - b_L - b_Pl + w_L * rp_L
-            cu = -r3 - b_U - b_Pu + w_U * rp_U
             w_eff = w_U + w_L - w_U * w_U / Du - w_L * w_L / Dl
-            const_s = (-b_U + b_L + w_U * rp_U - w_L * rp_L
-                       - w_U * cu / Du + w_L * cl / Dl)
             M_s = psum((G_s.T * w_eff) @ G_s)
-            rhs_s = psum(G_s.T @ const_s)
+            soft = (w_U, w_L, w_Pl, w_Pu, rp_U, rp_L, r2, r3, Dl, Du)
         else:
             M_s = 0.0
-            rhs_s = 0.0
+            soft = None
 
         M = H + psum((G_h.T * w_h) @ G_h) + M_s
+        dmc = jnp.clip(jnp.diagonal(M), 1e-30)
+        inv_s = jax.lax.rsqrt(dmc)
+        Ms = inv_s[:, None] * M * inv_s[None, :]
+        L = jnp.linalg.cholesky(Ms + reg * eye)
+        return {"w_h": w_h, "rp_h": rp_h, "r1": r1, "soft": soft,
+                "inv_s": inv_s, "L": L}
+
+    def direction(st, aux, sig_mu, corr):
+        """One Newton solve against the cached factorization."""
+        u, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
+        (ch, cU, cL, cPl, cPu) = corr if corr is not None else (0., 0., 0., 0., 0.)
+        w_h, rp_h, r1 = aux["w_h"], aux["rp_h"], aux["r1"]
+
+        b_h = (lh_ * th - sig_mu + ch) / th
+        if m_s:
+            (w_U, w_L, w_Pl, w_Pu, rp_U, rp_L, r2, r3, Dl, Du) = aux["soft"]
+            b_U = (lU * tU - sig_mu + cU) / tU
+            b_L = (lL * tL - sig_mu + cL) / tL
+            b_Pl = (nl * sl - sig_mu + cPl) / sl
+            b_Pu = (nu_ * su - sig_mu + cPu) / su
+            cl = -r2 - b_L - b_Pl + w_L * rp_L
+            cu = -r3 - b_U - b_Pu + w_U * rp_U
+            const_s = (-b_U + b_L + w_U * rp_U - w_L * rp_L
+                       - w_U * cu / Du + w_L * cl / Dl)
+            rhs_s = psum(G_s.T @ const_s)
+        else:
+            rhs_s = 0.0
+
         rhs = -r1 + psum(G_h.T @ (b_h - w_h * rp_h)) - rhs_s
-        du = _precond_cho_solve(M, rhs, eye, reg)
+        inv_s = aux["inv_s"]
+        du = inv_s * jax.scipy.linalg.cho_solve(
+            (aux["L"], True), inv_s * rhs)
 
         dth = -(G_h @ du) - rp_h
         dlh = -b_h - w_h * dth
@@ -406,7 +436,8 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     def body(carry):
         st, best, best_res, it, _ = carry
         mu = compl_sum(st) / m_total
-        d_aff = newton(st, 0.0, None)
+        aux = factorize(st)
+        d_aff = direction(st, aux, 0.0, None)
         a_aff = max_step(pairs(st, d_aff))
         st_aff = add(st, d_aff, a_aff)
         mu_aff = compl_sum(st_aff) / m_total
@@ -415,7 +446,7 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         #              dnl*dsl, dnu*dsu)
         corr = (d_aff[4] * d_aff[3], d_aff[6] * d_aff[5], d_aff[8] * d_aff[7],
                 d_aff[9] * d_aff[1], d_aff[10] * d_aff[2])
-        d = newton(st, sigma * mu, corr)
+        d = direction(st, aux, sigma * mu, corr)
         alpha = max_step(pairs(st, d))
         st_n = add(st, d, alpha)
         ok = jnp.asarray(True)

@@ -194,6 +194,64 @@ def test_incremental_conditioning_matches_full():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_rank_append_matches_block_refactor():
+    """Chained rank-Ty appends (the O(t²) rollout path, VERDICT #4) must
+    reproduce the full blockwise refactorization of the filled buffer:
+    same factor, same w, and the same posterior — including value-only
+    (NaN-gradient) observations and empty FAR slots."""
+    from sampling_gpmpc_tpu.gp.exact import (append_rows_update,
+                                             condition_update, factor_real,
+                                             predict_from_w, predict_update)
+    rng = np.random.default_rng(7)
+    Ty, cap, T = 3, 6, 4
+    Zr = rng.normal(size=(8, 2))
+    Yr = rng.normal(size=(8, Ty))
+    Yr[::2, 1:] = np.nan
+    noise = np.array([1e-6, 2e-6, 3e-6])
+    FAR = 1.0e5
+
+    # empty capacity-cap buffer, appended one point per "step"
+    Zh_buf = np.full((cap, 2), FAR)
+    Yh_buf = np.full((cap, Ty), np.nan)
+    pts = rng.normal(size=(T, 2))
+    obs = np.full((T, Ty), np.nan)
+    obs[:, 0] = rng.normal(size=T)          # value-only observations
+    obs[2, 1] = rng.normal()                # one gradient observation
+
+    rf = factor_real(jnp.asarray(Zr), jnp.asarray(Yr), LS, OS,
+                     jnp.asarray(noise), 1e-12, True)
+    uf = condition_update(rf, jnp.asarray(Zr), jnp.asarray(Zh_buf),
+                          jnp.asarray(Yh_buf), LS, OS, jnp.asarray(noise),
+                          1e-12, True)
+    uf = {k: uf[k] for k in ("C", "L_s", "w_h", "mask_h")}
+    for t in range(T):
+        Zh_buf[t] = pts[t]
+        Yh_buf[t] = obs[t]
+        uf = append_rows_update(
+            rf, uf, jnp.asarray(Zr), jnp.asarray(Zh_buf),
+            jnp.asarray(pts[t][None]), jnp.asarray(obs[t][None]),
+            t * Ty, LS, OS, jnp.asarray(noise), 1e-12, True)
+
+    full = condition_update(rf, jnp.asarray(Zr), jnp.asarray(Zh_buf),
+                            jnp.asarray(Yh_buf), LS, OS,
+                            jnp.asarray(noise), 1e-12, True)
+    for key in ("C", "L_s", "w_h", "mask_h"):
+        np.testing.assert_allclose(np.asarray(uf[key]),
+                                   np.asarray(full[key]),
+                                   atol=1e-9, err_msg=key)
+
+    Xt = rng.normal(size=(3, 2))
+    mean_w, cov_w = predict_from_w(jnp.asarray(Xt), jnp.asarray(Zr),
+                                   jnp.asarray(Zh_buf), rf, uf, LS, OS, True)
+    mean_f, cov_f = predict_update(jnp.asarray(Xt), jnp.asarray(Zr),
+                                   jnp.asarray(Zh_buf), rf, full, LS, OS,
+                                   0.0, True)
+    np.testing.assert_allclose(np.asarray(mean_w), np.asarray(mean_f),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov_w), np.asarray(cov_f),
+                               atol=1e-9)
+
+
 def test_pallas_cholesky_kernel_interpret():
     """The experimental Pallas batched-Cholesky kernel is numerically
     correct (validated in interpreter mode; see module docstring for the
