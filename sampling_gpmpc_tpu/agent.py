@@ -208,13 +208,17 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     if oracle_only:
         dg = jnp.zeros((spec.ns, spec.g_ny, H, Ty), Xt.dtype)
     else:
-        def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1):
-            return exact.sample_with_overrides(
-                Xt1, Z1, Y1, None, mean1, cov1, eps1.reshape(-1), hyp, Ty)
+        pv = jax.vmap(lambda ls, os_: exact.prior_task_variances(
+            ls, os_, Ty))(hyp.lengthscale, hyp.outputscale)   # (g_ny, Ty)
 
-        dg = jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0)),
-                      in_axes=(0, 0, 0, 0, 0, 0))(
-            Xt, Z, Y, mean, cov, eps)                # (ns, g_ny, H, Ty)
+        def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1, pv1):
+            return exact.sample_with_overrides(
+                Xt1, Z1, Y1, None, mean1, cov1, eps1.reshape(-1), hyp, Ty,
+                prior_var=pv1)
+
+        dg = jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0, 0)),
+                      in_axes=(0, 0, 0, 0, 0, 0, None))(
+            Xt, Z, Y, mean, cov, eps, pv)            # (ns, g_ny, H, Ty)
 
     # debug overrides address *global* sample indices 0 (and 1); under
     # shard_map these live on shard 0, so mask by the global index

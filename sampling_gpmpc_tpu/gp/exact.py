@@ -159,8 +159,20 @@ def posterior_sample(mean, cov, eps, jitter):
     return mean + L @ eps
 
 
+def prior_task_variances(hyp_ls, hyp_os, Ty: int):
+    """Prior variance of each task at any point: k(x,x) diagonal blocks.
+
+    For the RBF-grad kernel the value task has prior variance
+    ``outputscale`` and gradient task d has ``outputscale / ls_d**2``
+    (kernel.py closed forms); value-only GPs use just the first entry.
+    """
+    d_var = hyp_os / (hyp_ls * hyp_ls)
+    full = jnp.concatenate([hyp_os[None], d_var])
+    return full[:Ty]
+
+
 def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
-                          Ty_test: int):
+                          Ty_test: int, prior_var=None):
     """Full sampling pipeline of the reference's ``sample_gp``
     (ref: src/agent.py:629-730) for one (sample, output) pair.
 
@@ -175,6 +187,16 @@ def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
         Xt: (H, D) test points; Z: (M, D) train inputs; Y: (M, Ty) train obs.
         mean/cov: joint posterior (Ht,), (Ht, Ht).
         eps: (Ht,) base sample.
+        prior_var: optional (Ty_test,) prior task variances k(x,x); when
+            given, posterior variances below the dtype's cancellation-noise
+            floor (relative to the prior) are treated as EXACTLY zero.  The
+            f32 ``Ktt - V'V`` subtraction leaves ±1e-6-of-prior noise where
+            the true variance is ~0; beta-clipping at beta=30 turns that
+            noise floor into ~3e-2 dynamics perturbations per step, which
+            marginally-stable realizations amplify exponentially (measured:
+            bounded f64 rollouts vs 1e8 blowups in f32).  The reference
+            runs this workload in torch f64 where the same noise is 1e-14
+            and harmless.
     Returns:
         (H, Ty_test) sampled values(+gradients).
     """
@@ -182,6 +204,9 @@ def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
     y = posterior_sample(mean, cov, eps, hyp.jitter).reshape(H, Ty_test)
     mu = mean.reshape(H, Ty_test)
     var = jnp.clip(jnp.diagonal(cov), 0.0).reshape(H, Ty_test)
+    if prior_var is not None:
+        rel = 1e-5 if mean.dtype == jnp.float32 else 1e-12
+        var = jnp.where(var < rel * prior_var[None, :], 0.0, var)
 
     if hyp.variance_is_zero >= 0.0:
         all_zero = jnp.all(var <= hyp.variance_is_zero, axis=-1, keepdims=True)
@@ -278,7 +303,8 @@ def condition_update(rf, Z_r, Z_h, Y_h, hyp_ls, hyp_os, noise_diag, jitter,
 
 @full_precision
 def append_rows_update(rf, uf, Z_r, Z_h, z_new, y_new, pos,
-                       hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool):
+                       hyp_ls, hyp_os, noise_diag, jitter, with_grad: bool,
+                       refine: bool = False):
     """Rank-k append of ONE new conditioning point to a block factorization.
 
     The O(t²)-per-step path of iterative-conditioning rollouts (VERDICT #4;
@@ -320,13 +346,35 @@ def append_rows_update(rf, uf, Z_r, Z_h, z_new, y_new, pos,
         + jnp.diag(noise_diag)
     A_nn = m_new[:, None] * K_nn * m_new[None, :] + jnp.diag(1.0 - m_new)
 
-    c = jax.scipy.linalg.solve_triangular(rf["L"], A_rn, lower=True)
-    b = jax.scipy.linalg.solve_triangular(
-        uf["L_s"], A_hn - uf["C"].T @ c, lower=True)          # (R_h, k)
+    solve = _tri_solve_refined if refine else (
+        lambda L, B, lower: jax.scipy.linalg.solve_triangular(
+            L, B, lower=lower))
+    c = solve(rf["L"], A_rn, True)
+    b = solve(uf["L_s"], A_hn - uf["C"].T @ c, True)          # (R_h, k)
     S = A_nn - c.T @ c - b.T @ b
+    # The true Schur diagonal is a posterior variance + noise > 0, but f32
+    # roundoff in the incremental c'c + b'b accumulation drives it negative
+    # over long rollouts (unlike the full refactorization, errors compound
+    # across appends).  Floor it RELATIVE to the prior variance; the
+    # inflated sigma at near-deterministic points is bounded (~3e-3 of the
+    # output scale in f32) and those samples are beta-clipped anyway.
+    rel = 1e-5 if z_new.dtype == jnp.float32 else 1e-12
+    di = jnp.diag_indices(Ty)
+    S = S.at[di].set(jnp.maximum(S[di], rel * jnp.diagonal(A_nn)))
     D_blk = safe_cholesky(0.5 * (S + S.T), jitter)
     w_new = jax.scipy.linalg.solve_triangular(
         D_blk, y - c.T @ rf["w"] - b.T @ uf["w_h"], lower=True)
+
+    # last-resort sanitizer: if the append still failed numerically, mask
+    # the new rows (identity block, zero couplings) instead of poisoning
+    # the whole realization with NaN for every later step
+    ok = (jnp.all(jnp.isfinite(c)) & jnp.all(jnp.isfinite(b))
+          & jnp.all(jnp.isfinite(D_blk)) & jnp.all(jnp.isfinite(w_new)))
+    c = jnp.where(ok, c, 0.0)
+    b = jnp.where(ok, b, 0.0)
+    D_blk = jnp.where(ok, D_blk, jnp.eye(Ty, dtype=z_new.dtype))
+    w_new = jnp.where(ok, w_new, 0.0)
+    m_new = jnp.where(ok, m_new, 0.0)
 
     pos = jnp.asarray(pos)
     zero = jnp.zeros((), pos.dtype)
@@ -338,18 +386,41 @@ def append_rows_update(rf, uf, Z_r, Z_h, z_new, y_new, pos,
     return {"C": C, "L_s": L_s, "w_h": w_h, "mask_h": mask_h}
 
 
+def _tri_solve_refined(L, B, lower: bool):
+    """Triangular solve + one step of iterative refinement.
+
+    An f32 solve against an ill-conditioned factor carries relative error
+    ~eps*cond(L); one refinement step (residual has NO cancellation, so it
+    is f32-accurate) brings the error back to ~eps independent of the
+    condition number — cheap f64-grade accuracy for the posterior-variance
+    subtraction Ktt - V'V, whose signal sits ~1e-6 below the prior scale
+    on the fs workload (see sample_with_overrides prior_var notes).
+    """
+    x = jax.scipy.linalg.solve_triangular(L, B, lower=lower)
+    r = B - (L @ x)
+    return x + jax.scipy.linalg.solve_triangular(L, r, lower=lower)
+
+
 @full_precision
-def predict_from_w(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, with_grad: bool):
+def predict_from_w(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, with_grad: bool,
+                   refine: bool = False):
     """Joint posterior from the w-form block factorization.
 
     Same math as :func:`predict_update` but recovers the alphas from
     (w_r, w_h) by two capacity-sized back-substitutions — O(R²) per call,
     which keeps the incremental-append rollout free of any O(R³) work.
+
+    ``refine=True`` applies one iterative-refinement step to every
+    triangular solve: required in f32 when beta is large enough that the
+    variance's cancellation noise (eps*cond-scale) becomes a real dynamics
+    perturbation (the fs workload at beta=30; measured: refined f32
+    matches the f64 variance to below the true-variance scale).
     """
-    alpha_h = jax.scipy.linalg.solve_triangular(
-        uf["L_s"].T, uf["w_h"], lower=False)
-    alpha_r = jax.scipy.linalg.solve_triangular(
-        rf["L"].T, rf["w"] - uf["C"] @ alpha_h, lower=False)
+    solve = _tri_solve_refined if refine else (
+        lambda L, B, lower: jax.scipy.linalg.solve_triangular(
+            L, B, lower=lower))
+    alpha_h = solve(uf["L_s"].T, uf["w_h"], False)
+    alpha_r = solve(rf["L"].T, rf["w"] - uf["C"] @ alpha_h, False)
 
     Kx_r = kernel_matrix(Xt, Z_r, hyp_ls, hyp_os, with_grad) \
         * rf["mask"][None, :]
@@ -358,9 +429,8 @@ def predict_from_w(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, with_grad: bool):
     Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
 
     mean = Kx_r @ alpha_r + Kx_h @ alpha_h
-    V_r = jax.scipy.linalg.solve_triangular(rf["L"], Kx_r.T, lower=True)
-    V_h = jax.scipy.linalg.solve_triangular(
-        uf["L_s"], Kx_h.T - uf["C"].T @ V_r, lower=True)
+    V_r = solve(rf["L"], Kx_r.T, True)
+    V_h = solve(uf["L_s"], Kx_h.T - uf["C"].T @ V_r, True)
     cov = Ktt - V_r.T @ V_r - V_h.T @ V_h
     return mean, 0.5 * (cov + cov.T)
 

@@ -33,6 +33,7 @@ from sampling_gpmpc_tpu.config import ProblemSpec
 from sampling_gpmpc_tpu.envs.base import Env
 from sampling_gpmpc_tpu.gp import exact
 from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+from sampling_gpmpc_tpu.setup import full_precision
 
 
 def _sample_at_points_uf(spec: ProblemSpec, hyp: GPHyperArrays,
@@ -54,20 +55,26 @@ def _sample_at_points_uf(spec: ProblemSpec, hyp: GPHyperArrays,
         Y = jnp.full((spec.ns, spec.g_ny, 1, spec.Ty), jnp.nan, Xt.dtype)
 
     def pred_one(Xt1, Zh1, rf1, uf1, ls, os_):
+        # refine=True: f32 variance accuracy below the true-variance scale
+        # (long beta=30 rollouts destabilize on the raw f32 noise floor)
         return exact.predict_from_w(Xt1, gp.real_Z, Zh1, rf1, uf1,
-                                    ls, os_, wg)
+                                    ls, os_, wg, refine=True)
 
     mean, cov = jax.vmap(jax.vmap(pred_one, in_axes=(None, 0, 0, 0, 0, 0)),
                          in_axes=(0, 0, None, 0, None, None))(
         Xt, gp.hall_Z, gp.real_fact, uf, hyp.lengthscale, hyp.outputscale)
 
-    def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1):
-        return exact.sample_with_overrides(
-            Xt1, Z1, Y1, None, mean1, cov1, eps1.reshape(-1), hyp, spec.Ty)
+    pv = jax.vmap(lambda ls, os_: exact.prior_task_variances(
+        ls, os_, spec.Ty))(hyp.lengthscale, hyp.outputscale)   # (g_ny, Ty)
 
-    return jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0)),
-                    in_axes=(0, 0, 0, 0, 0, 0))(
-        Xt, Z, Y, mean, cov, eps)
+    def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1, pv1):
+        return exact.sample_with_overrides(
+            Xt1, Z1, Y1, None, mean1, cov1, eps1.reshape(-1), hyp, spec.Ty,
+            prior_var=pv1)
+
+    return jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0, 0)),
+                    in_axes=(0, 0, 0, 0, 0, 0, None))(
+        Xt, Z, Y, mean, cov, eps, pv)
 
 
 def _propagate(spec: ProblemSpec, env: Env, x, u, dg):
@@ -81,6 +88,7 @@ def _propagate(spec: ProblemSpec, env: Env, x, u, dg):
     return comb[:, :, 0]
 
 
+@full_precision
 def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                            gp: GPState, x0, U, key,
                            use_feedback: Optional[dict] = None):
@@ -97,6 +105,11 @@ def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
             (ref: simulate_forward_sampling_car.py:122).
     Returns:
         X_traj: (T+1, ns, nx) sampled trajectories; final GPState.
+
+    The whole rollout traces under full-f32 matmul precision: bf16 passes
+    in the per-step state/feedback algebra are chaotically amplified by
+    marginally-stable dynamics realizations over long horizons (measured:
+    bounded f64/f32 CPU rollouts vs 1e11 blowups on TPU defaults).
     """
     T = U.shape[0]
     dtype = U.dtype
@@ -118,7 +131,7 @@ def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         def app_one(rf1, uf1, Zh1, z1, y1, ls, os_):
             return exact.append_rows_update(
                 rf1, uf1, gp.real_Z, Zh1, z1, y1, pos * Ty,
-                ls, os_, hyp.noise_diag, hyp.jitter, wg)
+                ls, os_, hyp.noise_diag, hyp.jitter, wg, refine=True)
 
         return jax.vmap(jax.vmap(app_one, in_axes=(0, 0, 0, 0, 0, 0, 0)),
                         in_axes=(None, 0, 0, 0, 0, None, None))(
