@@ -58,8 +58,16 @@ def setup_solve(spec, data, env, device, dtype):
     args = jax.device_put((st, X, U, gp, eps), device)
     ocp, hyp = jax.device_put((ocp, hyp), device)
 
-    fn = jax.jit(lambda st, X, U, gp, eps: sqp.solve(
+    jfn = jax.jit(lambda st, X, U, gp, eps: sqp.solve(
         spec, env, hyp, ocp, st, X, U, gp, eps))
+
+    def fn(*a):
+        # enter default_device so trace-time platform gates (e.g. the
+        # fused Pallas IPM's fused_ok) see the device this run targets,
+        # not the process-default TPU relay
+        with jax.default_device(device):
+            return jfn(*a)
+
     return fn, args
 
 

@@ -22,6 +22,10 @@ def main():
     parser.add_argument("--dtype", default=None,
                         help="float32|float64 (default: env SGPMPC_DTYPE)")
     parser.add_argument("-q", "--quiet", action="store_true")
+    parser.add_argument("--debug-sqp", action="store_true",
+                        help="record every SQP iterate: per-iterate debug "
+                             "frames + video_sqp.gif in the artifact dir "
+                             "(ref: src/solver.py:194-352)")
     args = parser.parse_args()
 
     if args.dtype:
@@ -54,10 +58,17 @@ def main():
         rec.tilde_eps_list = data.tilde_eps
         rec.ci_list = data.ci
 
-    mpc = DEMPC(params, spec, data, env, recorder=rec, verbose=not args.quiet)
+    mpc = DEMPC(params, spec, data, env, recorder=rec, verbose=not args.quiet,
+                debug_sqp_dir=save_path if args.debug_sqp else None)
     out = mpc.run()
 
     artifact = rec.save_data()
+    if args.debug_sqp and mpc.sqp_records:
+        from sampling_gpmpc_tpu import visu
+        vid = visu.render_frames_video(
+            [r["frame"] for r in mpc.sqp_records],
+            os.path.join(save_path, "video_sqp.gif"))
+        print(f"sqp debug video: {vid} ({len(mpc.sqp_records)} iterates)")
     times = out["solver_time"]
     print(f"saved {artifact}")
     steady = times[1:] if len(times) > 1 else times

@@ -280,6 +280,27 @@ def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
     return append_hall_raw(gp, newZ, newY)
 
 
+def posterior_value_moments(spec: ProblemSpec, hyp: GPHyperArrays,
+                            gp: GPState, Xt: jnp.ndarray):
+    """Posterior VALUE mean/stddev along an iterate, for per-SQP-iterate
+    debug plots (ref: src/solver.py:247-287 plots mean +/- 2 sqrt(var) of
+    each sample's conditioned model).  Runs on the gp state as it ENTERS
+    the iteration — the model each function-sample is drawn from.
+
+    Args:
+        Xt: (ns, H, D) GP inputs along the current iterate.
+    Returns:
+        mean, std: (ns, g_ny, H) value-column posterior moments.
+    """
+    mean, cov = _batched_posterior_incremental(spec, hyp, gp, Xt)
+    H, Ty = Xt.shape[1], spec.Ty
+    var = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    mean_v = mean.reshape(spec.ns, spec.g_ny, H, Ty)[..., 0]
+    std_v = jnp.sqrt(jnp.clip(var.reshape(spec.ns, spec.g_ny, H, Ty)[..., 0],
+                              0.0))
+    return mean_v, std_v
+
+
 def dyn_linearization(spec: ProblemSpec, env: Env, xu: jnp.ndarray,
                       dg: jnp.ndarray, K_fb):
     """Assemble per-sample per-stage (value, A, B) from sampled dynamics.

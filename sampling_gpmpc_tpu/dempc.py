@@ -36,7 +36,8 @@ class DEMPC:
     """Owns the jitted solve and the closed-loop state."""
 
     def __init__(self, params: dict, spec: ProblemSpec, data: ProblemData,
-                 env: Env, dtype=None, recorder=None, verbose=False):
+                 env: Env, dtype=None, recorder=None, verbose=False,
+                 debug_sqp_dir: Optional[str] = None):
         from sampling_gpmpc_tpu.setup import default_dtype
         self.verbose = verbose
         self.spec, self.data, self.env = spec, data, env
@@ -52,6 +53,18 @@ class DEMPC:
             lambda st, X, U, gp, eps, ws, wv: sqp.solve(
                 spec, env, self.hyp, self.ocp, st, X, U, gp, eps,
                 qp_ws=ws, qp_valid=wv))
+        # opt-in per-SQP-iterate recording (ref: src/solver.py:153-154):
+        # frames rendered per MPC step into debug_sqp_dir
+        self.debug_sqp_dir = debug_sqp_dir
+        self.sqp_records = []
+        if debug_sqp_dir is not None:
+            self._solve_iter_dbg = jax.jit(
+                lambda st, X, U, gp, eps, ws, wv: sqp.sqp_iteration(
+                    spec, env, self.hyp, self.ocp, st, X, U, gp, eps,
+                    qp_ws=ws, qp_valid=wv, return_debug=True))
+            self._probe_dbg = jax.jit(
+                lambda gp, Xt: agent_mod.posterior_value_moments(
+                    spec, self.hyp, gp, Xt))
         self._plant = jax.jit(env.discrete_dyn)
         self._rollouts = jax.jit(self._make_record_rollouts())
 
@@ -122,6 +135,27 @@ class DEMPC:
 
         return rollouts
 
+    def _render_sqp_records(self, mpc_iter: int, recs):
+        """Dump per-SQP-iterate debug frames (ref: src/solver.py:194-352)."""
+        import os
+
+        from sampling_gpmpc_tpu import visu
+
+        bounds = np.stack([self.data.x_min, self.data.x_max])
+        for it, r in enumerate(recs):
+            out = os.path.join(self.debug_sqp_dir,
+                               f"sqp_m{mpc_iter:03d}_i{it:02d}.png")
+            visu.plot_sqp_iterate(
+                out, np.asarray(r["X"]), np.asarray(r["U"]),
+                dg=np.asarray(r["dg"]),
+                mean=None if r["mean"] is None else np.asarray(r["mean"]),
+                std=None if r["std"] is None else np.asarray(r["std"]),
+                x_bounds=bounds)
+            self.sqp_records.append({
+                "mpc_iter": mpc_iter, "sqp_iter": it, "frame": out,
+                "x_diff": r["x_diff"], "u_diff": r["u_diff"],
+            })
+
     def record_rollouts(self, x0, U):
         """True-dynamics + GP-mean re-propagation of a plan (numpy out)."""
         t, m = self._rollouts(jnp.asarray(x0, self.dtype),
@@ -143,8 +177,15 @@ class DEMPC:
 
         for m in range(spec.num_mpc_iter):
             t0 = time.perf_counter()
-            st = self._solve(x_curr, X, U, self.gp_state, self.epistemic[m],
-                             qp_ws, qp_valid)
+            if self.debug_sqp_dir is not None:
+                st, recs = sqp.solve_recorded(
+                    spec, self.env, self.hyp, self.ocp, x_curr, X, U,
+                    self.gp_state, self.epistemic[m], qp_ws, qp_valid,
+                    iter_fn=self._solve_iter_dbg, probe_fn=self._probe_dbg)
+                self._render_sqp_records(m, recs)
+            else:
+                st = self._solve(x_curr, X, U, self.gp_state,
+                                 self.epistemic[m], qp_ws, qp_valid)
             st.X.block_until_ready()
             qp_ws, qp_valid = st.qp_ws, st.qp_valid
             dt_solve = time.perf_counter() - t0

@@ -27,6 +27,13 @@ BIG = 1e8
 
 
 
+# stall exit shared by the XLA loop and the fused Pallas kernel: stop
+# after this many iterations without a >=1 % best-KKT improvement (the
+# best-iterate tracking makes extra iterations pure waste)
+STALL_ITERS = 10
+STALL_RTOL = 0.01
+
+
 class QPSolution(NamedTuple):
     z: jnp.ndarray
     lam: jnp.ndarray
@@ -434,7 +441,7 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         return [(st[i], d[j]) for i, j in idx]
 
     def body(carry):
-        st, best, best_res, it, _ = carry
+        st, best, best_res, it, _, since = carry
         mu = compl_sum(st) / m_total
         aux = factorize(st)
         d_aff = direction(st, aux, 0.0, None)
@@ -461,19 +468,41 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         improved = res < best_res
         best = jax.tree_util.tree_map(
             lambda new, old: jnp.where(improved, new, old), st, best)
+        # f32-only stall exit: near the f32 KKT floor the exact stop
+        # (res<=tol or mu collapse) is a knife-edge — measured 139 vs 34
+        # iterations for two bit-close trajectories of the same hard QP.
+        # Count iterations without MEANINGFUL (1 %) best-residual
+        # improvement instead.  f64 keeps the exact semantics: the golden
+        # closed loops pin full-accuracy solves, and the f64 path never
+        # grinds at a numerical floor.
+        meaningful = res < best_res * (1.0 - STALL_RTOL)
+        since = jnp.where(meaningful, 0, since + 1)
         best_res = jnp.minimum(res, best_res)
         mu_new = compl_sum(st) / m_total
         live = ok & (mu_new > 1e-14 * mu0)
+        if dtype != jnp.float64:
+            live = live & (since < STALL_ITERS)
         res_flag = jnp.where(live, best_res, -jnp.inf)   # -inf => exit
-        return st, best, best_res, it + 1, res_flag
+        return st, best, best_res, it + 1, res_flag, since
 
     def cond(carry):
-        _, _, _, it, res = carry
+        _, _, _, it, res, _ = carry
         return (it < max_iter) & (res > tol)
 
-    _, best, best_res, it, _ = jax.lax.while_loop(
-        cond, body, (st0, st0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0),
-                     jnp.asarray(jnp.inf, dtype)))
+    from sampling_gpmpc_tpu.ops import pallas_ipm
+    if axis_name is None and pallas_ipm.fused_ok(
+            nU, d_h.shape[0], m_s, dtype):
+        # single fused TPU kernel for the whole Mehrotra loop — same
+        # algorithm, none of the ~30x per-iteration dispatch cost
+        best, best_res, it = pallas_ipm.run_mehrotra(
+            H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu, st0,
+            qscale, tol, reg, max_iter,
+            stall_iters=STALL_ITERS, stall_rtol=STALL_RTOL)
+    else:
+        _, best, best_res, it, _, _ = jax.lax.while_loop(
+            cond, body, (st0, st0, jnp.asarray(jnp.inf, dtype),
+                         jnp.asarray(0), jnp.asarray(jnp.inf, dtype),
+                         jnp.asarray(0)))
     status = jnp.where(best_res <= jnp.asarray(tol, dtype) * 1e3, 0, 4)
     # undo the row equilibration so the carried state is scale-independent
     (u_b, sl_b, su_b, th_b, lh_b, tU_b, lU_b, tL_b, lL_b, nl_b, nu_b) = best

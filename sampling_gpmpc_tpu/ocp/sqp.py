@@ -84,7 +84,8 @@ def _linearization_inputs(spec: ProblemSpec, ocp: OCPData, X, U):
 
 def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                   ocp: OCPData, st_curr, X, U, gp: GPState, eps,
-                  axis_name=None, qp_ws=None, qp_valid=None):
+                  axis_name=None, qp_ws=None, qp_valid=None,
+                  return_debug: bool = False):
     """One full SQP-RTI iteration; returns updated (X, U, gp, status).
 
     With ``axis_name`` this body runs inside shard_map over the sample axis:
@@ -118,6 +119,8 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     dX = T + jnp.einsum("ikau,u->ika", Gamma, dU)           # (ns, H+1, nx)
     X_new = X + jnp.swapaxes(dX, 0, 1)
     U_new = U + dU.reshape(H, nu)
+    if return_debug:
+        return X_new, U_new, gp, sol, {"dg": dg, "Xt": Xt}
     return X_new, U_new, gp, sol
 
 
@@ -173,3 +176,82 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
         it=jnp.asarray(0), status=jnp.asarray(0), done=jnp.asarray(False),
         qp_ws=qp_ws, qp_valid=qp_valid, qp_iters=jnp.asarray(0))
     return jax.lax.while_loop(cond, body, init)
+
+
+def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
+                   ocp: OCPData, st_curr, X0, U0, gp0: GPState, eps_iters,
+                   qp_ws=None, qp_valid=None, iter_fn=None, probe_fn=None):
+    """Debug twin of `solve` that records every SQP iterate.
+
+    Host-stepped (one jitted `sqp_iteration` call per trip) so each
+    iterate, its GP function-samples, and the posterior moments of the
+    model they were drawn from can be captured — the data behind the
+    reference's in-solve debug plots (ref: src/solver.py:153-154,194-352).
+    Identical update math and convergence predicate to `solve`; use only
+    for debugging (it pays one dispatch per SQP iteration).
+
+    Args:
+        iter_fn / probe_fn: optional pre-jitted closures over
+            (spec, env, hyp, ocp) to reuse across calls — signatures
+            ``iter_fn(st, X, U, gp, eps, ws, wv)`` with return_debug=True
+            and ``probe_fn(gp, Xt)``.
+    Returns:
+        (SolveState, records): records is a list of per-iterate dicts
+        with X, U (post-QP), dg, mean, std, x_diff, u_diff.
+    """
+    if iter_fn is None:
+        iter_fn = lambda st, X, U, gp, eps, ws, wv: sqp_iteration(
+            spec, env, hyp, ocp, st, X, U, gp, eps,
+            qp_ws=ws, qp_valid=wv, return_debug=True)
+    if probe_fn is None:
+        probe_fn = lambda gp, Xt: agent_mod.posterior_value_moments(
+            spec, hyp, gp, Xt)
+
+    gp = agent_mod.reset_hall(gp0)
+    if qp_ws is None:
+        qp_ws = init_qp_ws(spec, X0.dtype)
+        qp_valid = jnp.asarray(False)
+    X, U = X0, U0
+    records = []
+    it = 0
+    status = jnp.asarray(0)
+    qp_iters = 0
+    x_diff = u_diff = float("inf")
+    oracle_only = (spec.true_dyn_as_sample or spec.mean_as_dyn_sample) \
+        and spec.ns <= 2
+    while it < spec.max_sqp_iter:
+        # moments of the entering model at the entering iterate
+        xu = _linearization_inputs(spec, ocp, X, U)
+        Xt = xu[..., jnp.asarray(spec.g_idx_inputs)]
+        if oracle_only:
+            mean = std = None
+        else:
+            mean, std = probe_fn(gp, Xt)
+        X_new, U_new, gp, sol, dbg = iter_fn(
+            st_curr, X, U, gp, eps_iters[it], qp_ws, qp_valid)
+        qp_ws, qp_valid = sol.state, jnp.asarray(True)
+        status = sol.status
+        qp_iters += int(sol.iters)
+        x_diff = float(jnp.linalg.norm(X_new[:spec.H] - X[:spec.H])
+                       / (jnp.linalg.norm(X[:spec.H]) + 1e-6))
+        u_diff = float(jnp.linalg.norm(U_new - U)
+                       / (jnp.linalg.norm(U) + 1e-6))
+        records.append({
+            "X": X_new, "U": U_new, "dg": dbg["dg"],
+            "mean": mean, "std": std,
+            "x_diff": x_diff, "u_diff": u_diff,
+        })
+        X_prev, U_prev = X, U
+        X, U = X_new, U_new
+        it += 1
+        if int(status) != 0:
+            break
+        if x_diff < spec.tol_nlp and u_diff < spec.tol_nlp:
+            break
+    st = SolveState(X=X, U=U, X_prev=X_prev, U_prev=U_prev, gp=gp,
+                    it=jnp.asarray(it), status=status,
+                    done=jnp.asarray(x_diff < spec.tol_nlp
+                                     and u_diff < spec.tol_nlp),
+                    qp_ws=qp_ws, qp_valid=qp_valid,
+                    qp_iters=jnp.asarray(qp_iters))
+    return st, records

@@ -1,0 +1,493 @@
+"""Fused Mehrotra predictor-corrector IPM as one Pallas TPU kernel.
+
+Replaces the ``lax.while_loop`` at the heart of ``ocp.qp.solve_qp_soft``
+(the HPIPM-analog structured QP, ref: src/utils/ocp.py:302) for the
+single-device f32 path.  The XLA while_loop pays per-HLO dispatch for
+every one of the ~30 Mehrotra iterations — measured ~2.4 ms of the
+4.5 ms SQP-RTI step at the bench shape (nU=20, m_h=7720, m_s=64;
+BENCH_NOTES "GP-stage profiling") even though the arithmetic is trivial
+(one 618 KB constraint matrix, a (20,20) Schur factorization).  Here the
+ENTIRE iteration loop runs inside VMEM-resident kernel invocations:
+problem data and primal-dual state never leave VMEM within a chunk, and
+each iteration is pure VPU/MXU work.
+
+Early exit needs care: on the TPU scalar pipeline BOTH ``pl.when`` and
+in-kernel ``lax.while_loop`` bodies cost their static trip bound — a
+loop that exits after 9 of 150 trips still pays for 150 (measured:
+0.73 ms vs 0.085 ms for the identical 9 active iterations at bounds
+150/30; a minimal dot-per-trip kernel reproduces it).  So the kernel
+runs a fixed CHUNK of iterations and an XLA-level ``lax.while_loop``
+re-invokes it from the CURRENT state until converged/dead/out of
+budget; typical warm QPs (<= ~12 iterations) cost one invocation.
+
+Layout choices (TPU tiling is (8 sublanes, 128 lanes) for f32):
+
+- Constraint matrices are stored TRANSPOSED, ``G_t (nU_p, m_p)``: both
+  matvec directions and the Schur complement ``(G' diag(w)) G`` become
+  single ``dot_general`` contractions over the lane axis — no in-kernel
+  transposes anywhere (the Jacobi scaling exploits the Schur
+  complement's symmetry to get the row/column diagonals without one).
+- Every m-sized quantity is a ``(1, m_p)`` lane row; the 11-tuple IPM
+  state packs into three refs — ``u (1, nU_p)``, ``hard (2, m_hp)`` =
+  [slack, dual], ``soft (8, m_sp)`` = [tU, tL, sl, su | lU, lL, nl, nu]
+  — so step-ratio / complementarity / finiteness sweeps are whole-array
+  VPU ops and the pairing (row i with row i+4) is a single slice-product.
+- Padding rows carry (slack=1, dual=0, d=1, zero G columns) and deltas
+  are masked, making pads exactly invisible to complementarity sums,
+  residual maxima and step-length ratios.
+
+Equilibration, warm-start assembly, and un-scaling remain in XLA
+(``ocp/qp.py``) — one-time work; only the loop is fused.  The XLA
+while_loop stays as the reference implementation for CPU / f64 /
+sharded (``axis_name``) / oversized problems, and the two paths are
+equivalence-tested (tests/test_pallas_ipm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sampling_gpmpc_tpu.ops.batch_linalg import _device_platform
+
+LANES = 128
+_INTERPRET = False          # flipped by tests to run kernels off-TPU
+_HIGH = jax.lax.Precision.HIGHEST
+VMEM_BUDGET = 9 * 1024 * 1024
+# kernel iterations per invocation: every trip costs ~5 us whether live
+# or predicated off, so size chunks for the warm-start common case
+# (<= ~12 IPM iterations) and let the outer while_loop re-invoke
+CHUNK = 16
+
+
+def fused_ok(nU: int, m_h: int, m_s: int, dtype) -> bool:
+    """Static gate: can this problem run in the fused kernel?"""
+    if os.environ.get("SGPMPC_NO_PALLAS") or os.environ.get("SGPMPC_NO_FUSED_IPM"):
+        return False
+    if dtype != jnp.float32 or m_s < 1 or not (1 <= nU <= 128):
+        return False
+    nU_p = max(8, -(-nU // 8) * 8)
+    m_hp = -(-m_h // LANES) * LANES
+    m_sp = -(-m_s // LANES) * LANES
+    # G_t + ~16 hard-row vectors + ~40 soft rows + small matrices
+    vmem = 4 * (nU_p * (m_hp + m_sp) + 16 * m_hp + 40 * m_sp
+                + 3 * nU_p * nU_p + 16 * nU_p)
+    if vmem > VMEM_BUDGET:
+        return False
+    if _INTERPRET:
+        return True
+    return _device_platform() in ("tpu", "axon")
+
+
+def _pad_lanes(x, n, fill=0.0):
+    return jnp.pad(x, ((0, 0), (0, n - x.shape[1])), constant_values=fill)
+
+
+def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
+            # outputs: current state (chunk exit), chunk-best state,
+            # chunk-best residual, iterations executed, stop flag
+            cu, ch, cs, bu, bh, bs, bres, bit, bstop,
+            # scratch
+            dAu, dAh, dAs, dCu, dCh, dCs,
+            Lr, wh, rph, sx, r1r, sst,
+            *, nU: int, m_total: int, tol: float, reg: float,
+            max_iter: int, stall_iters: int, stall_rtol: float):
+    """One grid program: a CHUNK of ``max_iter`` Mehrotra iterations.
+
+    Ref rows: sd = [lo, hi, zl, zu, Zl, Zu];
+    soft state rows = [tU, tL, sl, su, lU, lL, nl, nu];
+    sx (factorize aux) rows = [w_U, w_L, w_Pl, w_Pu, rp_U, rp_L, r2, r3,
+    Dl, Du]; hard state rows = [th, lh].
+    """
+    f32 = jnp.float32
+    nU_p = Hp.shape[0]
+    qscale = qs[0, 0]
+    mu0 = qscale
+
+    rows_n = jax.lax.broadcasted_iota(jnp.int32, (nU_p, nU_p), 0)
+    cols_n = jax.lax.broadcasted_iota(jnp.int32, (nU_p, nU_p), 1)
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, nU_p), 1)
+    eye_m = jnp.where(rows_n == cols_n, 1.0, 0.0).astype(f32)
+
+    def dotg(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a, b, (((ca,), (cb,)), ((), ())),
+            preferred_element_type=f32, precision=_HIGH)
+
+    # matvecs against the transposed-stored constraint matrices
+    def Gh_u(u):                     # (1,nU_p) -> (1,m_hp)
+        return dotg(u, Gth[...], 1, 0)
+
+    def GhT_v(v):                    # (1,m_hp) -> (1,nU_p)
+        return dotg(v, Gth[...], 1, 1)
+
+    def Gs_u(u):
+        return dotg(u, Gts[...], 1, 0)
+
+    def GsT_v(v):
+        return dotg(v, Gts[...], 1, 1)
+
+    def Hu(u):                       # symmetric H
+        return dotg(u, Hp[...], 1, 0)
+
+    def compl(h, s):
+        return (jnp.sum(h[0:1] * h[1:2])
+                + jnp.sum(s[0:4] * s[4:8]))
+
+    def stationarity(u, h, s):
+        return (Hu(u) + gp[...] + GhT_v(h[1:2])
+                + GsT_v(s[4:5] - s[5:6]))
+
+    def kkt(u, h, s):
+        r1 = stationarity(u, h, s)
+        r_stat = jnp.max(jnp.abs(r1)) / qscale
+        gu = Gh_u(u)
+        rp_h = jnp.abs(gu + h[0:1] - dh[...]) * mh[...]
+        gsu = Gs_u(u)
+        rp_U = gsu - s[3:4] + s[0:1] - sd[1:2]
+        rp_L = -gsu - s[2:3] + s[1:2] + sd[0:1]
+        rp_s = jnp.maximum(jnp.abs(rp_U), jnp.abs(rp_L)) * ms[...]
+        r_prim = jnp.maximum(jnp.max(rp_h), jnp.max(rp_s))
+        c = compl(h, s) / (m_total * qscale)
+        return jnp.maximum(jnp.maximum(r_stat, r_prim), c)
+
+    # dynamic indexing is legal on the SUBLANE dim (row reads) but not the
+    # lane dim, so pivots / columns are masked lane reductions and the
+    # column deposit is a full-matrix masked write
+
+    def cho_factor(M):
+        """Right-looking Cholesky on the (nU_p, nU_p) scratch ``Lr``."""
+        Lr[...] = M
+
+        def step(j, _):
+            rowj = Lr[pl.ds(j, 1), :]                       # (1, nU_p)
+            piv = jnp.sum(jnp.where(lane_n == j, rowj, 0.0))
+            r = jax.lax.rsqrt(piv)
+            # active block stays symmetric => column j == row j's values
+            colj = jnp.sum(jnp.where(cols_n == j, Lr[...], 0.0),
+                           axis=1, keepdims=True)           # (nU_p, 1)
+            lj = jnp.where(rows_n[:, :1] >= j, colj * r, 0.0)
+            f1 = jnp.where(rows_n[:, :1] > j, colj * r, 0.0)
+            f2 = jnp.where(cols_n[:1, :] > j, rowj * r, 0.0)
+            Lr[...] = jnp.where(cols_n == j, lj, Lr[...] - f1 * f2)
+            return 0
+
+        # Mosaic's dynamic-loop codegen for these row-at-a-time triangular
+        # sweeps is ~8x slower than straight-line code (measured 0.70 ms vs
+        # 0.15 ms per solve at nU=20, m_h=7720); nU is small and static, so
+        # unroll fully.  The OUTER Mehrotra loop must stay dynamic — fully
+        # unrolling it costs 70+ s of Mosaic compile time and runs slower.
+        jax.lax.fori_loop(0, nU, step, 0, unroll=True)
+        Lr[...] = jnp.where(rows_n >= cols_n, Lr[...], 0.0)
+
+    def cho_solve(b):
+        """L L' x = b for one (1, nU_p) row, row-oriented substitutions."""
+        def fwd(j, y):
+            lrow = Lr[pl.ds(j, 1), :]
+            acc = jnp.sum(jnp.where(lane_n < j, lrow * y, 0.0))
+            piv = jnp.sum(jnp.where(lane_n == j, lrow, 0.0))
+            bj = jnp.sum(jnp.where(lane_n == j, y, 0.0))
+            yj = (bj - acc) / piv
+            return jnp.where(lane_n == j, yj, y)
+
+        y = jax.lax.fori_loop(0, nU, fwd, b, unroll=True)
+
+        def bwd(i, x):
+            j = nU - 1 - i
+            lrow = Lr[pl.ds(j, 1), :]          # row j of L = col j of L'
+            piv = jnp.sum(jnp.where(lane_n == j, lrow, 0.0))
+            xj = jnp.sum(jnp.where(lane_n == j, x, 0.0)) / piv
+            # eliminate x_j from remaining rows k<j: b_k -= L[j,k] x_j
+            x = x - jnp.where(lane_n < j, lrow * xj, 0.0)
+            return jnp.where(lane_n == j, xj, x)
+
+        return jax.lax.fori_loop(0, nU, bwd, y, unroll=True)
+
+    def factorize():
+        """Residuals + Schur assembly + factorization of the CURRENT state,
+        shared by the predictor and corrector solves (same weights =>
+        same matrix; ref XLA twin: ocp/qp.py::solve_qp_soft.factorize)."""
+        u, h, s = cu[...], ch[...], cs[...]
+        th, lh = h[0:1], h[1:2]
+        tU, tL, sl, su = s[0:1], s[1:2], s[2:3], s[3:4]
+        lU, lL, nl, nu_ = s[4:5], s[5:6], s[6:7], s[7:8]
+        lo, hi, zl, zu, Zl, Zu = (sd[0:1], sd[1:2], sd[2:3], sd[3:4],
+                                  sd[4:5], sd[5:6])
+
+        w_h = lh / th
+        wh[...] = w_h
+        rph[...] = Gh_u(u) + th - dh[...]
+        r1r[...] = stationarity(u, h, s)
+
+        w_U, w_L = lU / tU, lL / tL
+        w_Pl, w_Pu = nl / sl, nu_ / su
+        gsu = Gs_u(u)
+        sx[4:5, :] = gsu - su + tU - hi          # rp_U
+        sx[5:6, :] = -gsu - sl + tL + lo         # rp_L
+        sx[6:7, :] = Zl * sl + zl - lL - nl      # r2
+        sx[7:8, :] = Zu * su + zu - lU - nu_     # r3
+        Dl = Zl + w_L + w_Pl
+        Du = Zu + w_U + w_Pu
+        sx[0:1, :] = w_U
+        sx[1:2, :] = w_L
+        sx[2:3, :] = w_Pl
+        sx[3:4, :] = w_Pu
+        sx[8:9, :] = Dl
+        sx[9:10, :] = Du
+
+        w_eff = w_U + w_L - w_U * w_U / Du - w_L * w_L / Dl
+        M = (Hp[...] + dotg(Gth[...] * w_h, Gth[...], 1, 1)
+             + dotg(Gts[...] * w_eff, Gts[...], 1, 1))
+        # Jacobi scaling; M is symmetric so the row- and column-diagonal
+        # vectors come from the same masked reductions (no transpose)
+        Me = M * eye_m
+        d_row = jnp.clip(jnp.sum(Me, axis=0, keepdims=True), 1e-30)
+        d_col = jnp.clip(jnp.sum(Me, axis=1, keepdims=True), 1e-30)
+        inv_r = jax.lax.rsqrt(d_row)
+        inv_c = jax.lax.rsqrt(d_col)
+        cho_factor(inv_c * M * inv_r + reg * eye_m)
+        return inv_r
+
+    def direction(inv_r, sig_mu, du_ref, dh_ref, ds_ref, corr):
+        """One Newton solve against the cached factorization; ``corr``
+        is None for the predictor, else (ch_, cU, cL, cPl, cPu) rows."""
+        u, h, s = cu[...], ch[...], cs[...]
+        th, lh = h[0:1], h[1:2]
+        tU, tL, sl, su = s[0:1], s[1:2], s[2:3], s[3:4]
+        lU, lL, nl, nu_ = s[4:5], s[5:6], s[6:7], s[7:8]
+        w_U, w_L, w_Pl, w_Pu = sx[0:1], sx[1:2], sx[2:3], sx[3:4]
+        rp_U, rp_L, r2, r3 = sx[4:5], sx[5:6], sx[6:7], sx[7:8]
+        Dl, Du = sx[8:9], sx[9:10]
+        w_h, rp_h = wh[...], rph[...]
+
+        if corr is None:
+            ch_ = cU = cL = cPl = cPu = 0.0
+        else:
+            ch_, cU, cL, cPl, cPu = corr
+
+        b_h = (lh * th - sig_mu + ch_) / th
+        b_U = (lU * tU - sig_mu + cU) / tU
+        b_L = (lL * tL - sig_mu + cL) / tL
+        b_Pl = (nl * sl - sig_mu + cPl) / sl
+        b_Pu = (nu_ * su - sig_mu + cPu) / su
+        cl = -r2 - b_L - b_Pl + w_L * rp_L
+        cu_ = -r3 - b_U - b_Pu + w_U * rp_U
+        const_s = (-b_U + b_L + w_U * rp_U - w_L * rp_L
+                   - w_U * cu_ / Du + w_L * cl / Dl)
+
+        rhs = -r1r[...] + GhT_v(b_h - w_h * rp_h) - GsT_v(const_s)
+        du = inv_r * cho_solve(inv_r * rhs)
+        du_ref[...] = du
+
+        dth = -Gh_u(du) - rp_h
+        dlh = -b_h - w_h * dth
+        dh_ref[0:1, :] = dth * mh[...]
+        dh_ref[1:2, :] = dlh * mh[...]
+
+        gsdu = Gs_u(du)
+        dsl = (cl - w_L * gsdu) / Dl
+        dsu = (cu_ + w_U * gsdu) / Du
+        dtU = -gsdu + dsu - rp_U
+        dtL = gsdu + dsl - rp_L
+        ds_ref[0:1, :] = dtU * ms[...]
+        ds_ref[1:2, :] = dtL * ms[...]
+        ds_ref[2:3, :] = dsl * ms[...]
+        ds_ref[3:4, :] = dsu * ms[...]
+        ds_ref[4:5, :] = (-b_U - w_U * dtU) * ms[...]
+        ds_ref[5:6, :] = (-b_L - w_L * dtL) * ms[...]
+        ds_ref[6:7, :] = (-b_Pl - w_Pl * dsl) * ms[...]
+        ds_ref[7:8, :] = (-b_Pu - w_Pu * dsu) * ms[...]
+
+    def max_step(dh_ref, ds_ref):
+        h, s = ch[...], cs[...]
+        dh_, ds_ = dh_ref[...], ds_ref[...]
+        rh = jnp.where(dh_ < 0, -h / jnp.where(dh_ < 0, dh_, -1.0), jnp.inf)
+        rs = jnp.where(ds_ < 0, -s / jnp.where(ds_ < 0, ds_, -1.0), jnp.inf)
+        return 0.99 * jnp.minimum(
+            1.0, jnp.minimum(jnp.min(rh), jnp.min(rs)))
+
+    # ---- init ------------------------------------------------------------
+    cu[...] = u0[...]
+    ch[...] = h0[...]
+    cs[...] = s0[...]
+    bu[...] = u0[...]
+    bh[...] = h0[...]
+    bs[...] = s0[...]
+    sst[0] = jnp.asarray(jnp.inf, f32)        # chunk-best residual
+
+    # the loop bound is the CHUNK size; every trip costs whether live or
+    # predicated off (module docstring), so the bound is kept small and
+    # the XLA caller re-invokes for hard problems
+    def cond(c):
+        it, stop, _ = c
+        return (it < max_iter) & (stop == 0)
+
+    def body(c):
+        it, _, since = c
+        mu = compl(ch[...], cs[...]) / m_total
+        inv_r = factorize()
+        direction(inv_r, 0.0, dAu, dAh, dAs, None)
+        a_aff = max_step(dAh, dAs)
+        h_aff = ch[...] + a_aff * dAh[...]
+        s_aff = cs[...] + a_aff * dAs[...]
+        mu_aff = compl(h_aff, s_aff) / m_total
+        sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+        corr = (dAh[1:2] * dAh[0:1], dAs[4:5] * dAs[0:1],
+                dAs[5:6] * dAs[1:2], dAs[6:7] * dAs[2:3],
+                dAs[7:8] * dAs[3:4])
+        direction(inv_r, sigma * mu, dCu, dCh, dCs, corr)
+        alpha = max_step(dCh, dCs)
+
+        u_n = cu[...] + alpha * dCu[...]
+        h_n = ch[...] + alpha * dCh[...]
+        s_n = cs[...] + alpha * dCs[...]
+        ok = (jnp.all(jnp.isfinite(u_n)) & jnp.all(jnp.isfinite(h_n))
+              & jnp.all(jnp.isfinite(s_n)))
+
+        @pl.when(ok)
+        def _():
+            cu[...] = u_n
+            ch[...] = h_n
+            cs[...] = s_n
+
+        res = jnp.where(ok, kkt(cu[...], ch[...], cs[...]), jnp.inf)
+        # stall exit mirrors the XLA twin (qp.STALL_ITERS/STALL_RTOL)
+        meaningful = res < sst[0] * (1.0 - stall_rtol)
+        since = jnp.where(meaningful, 0, since + 1)
+
+        @pl.when(res < sst[0])
+        def _():
+            bu[...] = cu[...]
+            bh[...] = ch[...]
+            bs[...] = cs[...]
+            sst[0] = res
+
+        mu_new = compl(ch[...], cs[...]) / m_total
+        live = ok & (mu_new > 1e-14 * mu0)
+        stop = (~live) | (sst[0] <= tol) | (since >= stall_iters)
+        return it + 1, stop.astype(jnp.int32), since
+
+    it_f, stop_f, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    bres[0, 0] = sst[0]
+    bit[0, 0] = it_f
+    bstop[0, 0] = stop_f
+
+
+def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
+                 st0, qscale, tol: float, reg: float, max_iter: int,
+                 stall_iters: int = 10, stall_rtol: float = 0.01):
+    """Run the fused IPM loop; mirrors the XLA while_loop in
+    ``ocp.qp.solve_qp_soft`` given the SAME (already equilibrated)
+    problem data and initial state.
+
+    Returns ``(best_state_11tuple, best_res, iters)``.
+    """
+    f32 = jnp.float32
+    nU = g.shape[0]
+    m_h, m_s = d_h.shape[0], lo_s.shape[0]
+    nU_p = max(8, -(-nU // 8) * 8)
+    m_hp = -(-m_h // LANES) * LANES
+    m_sp = -(-m_s // LANES) * LANES
+    m_total = m_h + 4 * m_s
+
+    Hp = jnp.zeros((nU_p, nU_p), f32).at[:nU, :nU].set(H)
+    Hp = Hp + jnp.diag(jnp.arange(nU_p) >= nU).astype(f32)
+    gp = jnp.zeros((1, nU_p), f32).at[0, :nU].set(g)
+    Gth = jnp.zeros((nU_p, m_hp), f32).at[:nU, :m_h].set(G_h.T)
+    dh = jnp.ones((1, m_hp), f32).at[0, :m_h].set(d_h)
+    mh = jnp.zeros((1, m_hp), f32).at[0, :m_h].set(1.0)
+    Gts = jnp.zeros((nU_p, m_sp), f32).at[:nU, :m_s].set(G_s.T)
+    ms = jnp.zeros((1, m_sp), f32).at[0, :m_s].set(1.0)
+    sd = jnp.stack([
+        jnp.full((m_sp,), -1.0, f32).at[:m_s].set(lo_s),
+        jnp.ones((m_sp,), f32).at[:m_s].set(hi_s),
+        jnp.zeros((m_sp,), f32).at[:m_s].set(zl),
+        jnp.zeros((m_sp,), f32).at[:m_s].set(zu),
+        jnp.ones((m_sp,), f32).at[:m_s].set(Zl),
+        jnp.ones((m_sp,), f32).at[:m_s].set(Zu),
+    ])
+
+    (u_0, sl_0, su_0, th_0, lh_0, tU_0, lU_0, tL_0, lL_0, nl_0, nu_0) = st0
+    u0 = jnp.zeros((1, nU_p), f32).at[0, :nU].set(u_0)
+    h0 = jnp.stack([jnp.ones((m_hp,), f32).at[:m_h].set(th_0),
+                    jnp.zeros((m_hp,), f32).at[:m_h].set(lh_0)])
+    s_rows = [tU_0, tL_0, sl_0, su_0]
+    d_rows = [lU_0, lL_0, nl_0, nu_0]
+    s0 = jnp.stack(
+        [jnp.ones((m_sp,), f32).at[:m_s].set(r) for r in s_rows]
+        + [jnp.zeros((m_sp,), f32).at[:m_s].set(r) for r in d_rows])
+    qs = jnp.asarray(qscale, f32).reshape(1, 1)
+
+    chunk = min(CHUNK, int(max_iter))
+    kern = functools.partial(_kernel, nU=nU, m_total=m_total,
+                             tol=float(tol), reg=float(reg),
+                             max_iter=chunk, stall_iters=int(stall_iters),
+                             stall_rtol=float(stall_rtol))
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kern,
+        in_specs=[vspec() for _ in range(11)] + [sspec()],
+        out_specs=[vspec()] * 6 + [sspec()] * 3,
+        out_shape=[jax.ShapeDtypeStruct((1, nU_p), f32),
+                   jax.ShapeDtypeStruct((2, m_hp), f32),
+                   jax.ShapeDtypeStruct((8, m_sp), f32),
+                   jax.ShapeDtypeStruct((1, nU_p), f32),
+                   jax.ShapeDtypeStruct((2, m_hp), f32),
+                   jax.ShapeDtypeStruct((8, m_sp), f32),
+                   jax.ShapeDtypeStruct((1, 1), f32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((1, nU_p), f32), pltpu.VMEM((2, m_hp), f32),
+            pltpu.VMEM((8, m_sp), f32),
+            pltpu.VMEM((1, nU_p), f32), pltpu.VMEM((2, m_hp), f32),
+            pltpu.VMEM((8, m_sp), f32),
+            pltpu.VMEM((nU_p, nU_p), f32),
+            pltpu.VMEM((1, m_hp), f32), pltpu.VMEM((1, m_hp), f32),
+            pltpu.VMEM((10, m_sp), f32),
+            pltpu.VMEM((1, nU_p), f32),
+            pltpu.SMEM((2,), f32),
+        ],
+        interpret=_INTERPRET,
+    )
+
+    # chunked outer loop: each trip runs one fixed-size kernel chunk from
+    # the CURRENT iterate and merges its chunk-best into the running best
+    def cond(c):
+        _, _, _, _, _, _, _, it_tot, stop = c
+        return (it_tot < max_iter) & (stop == 0)
+
+    def body(c):
+        u_c, h_c, s_c, bu, bh, bs, bres, it_tot, _ = c
+        (u_n, h_n, s_n, kbu, kbh, kbs, kres, kit, kstop) = call(
+            Hp, gp, Gth, dh, mh, Gts, sd, ms, u_c, h_c, s_c, qs)
+        kres = kres[0, 0]
+        better = kres < bres
+        bu = jnp.where(better, kbu, bu)
+        bh = jnp.where(better, kbh, bh)
+        bs = jnp.where(better, kbs, bs)
+        # cross-chunk stall: the in-kernel counter resets each chunk, so a
+        # chunk that fails to improve the global best meaningfully also
+        # stops the outer loop
+        stalled = kres >= bres * (1.0 - stall_rtol)
+        bres = jnp.minimum(kres, bres)
+        stop = jnp.maximum(kstop[0, 0], stalled.astype(jnp.int32))
+        return (u_n, h_n, s_n, bu, bh, bs, bres,
+                it_tot + kit[0, 0], stop)
+
+    init = (u0, h0, s0, u0, h0, s0, jnp.asarray(jnp.inf, f32),
+            jnp.int32(0), jnp.int32(0))
+    (_, _, _, bu, bh, bs, bres, it_tot, _) = jax.lax.while_loop(
+        cond, body, init)
+
+    best = (bu[0, :nU], bs[2, :m_s], bs[3, :m_s], bh[0, :m_h],
+            bh[1, :m_h], bs[0, :m_s], bs[4, :m_s], bs[1, :m_s],
+            bs[5, :m_s], bs[6, :m_s], bs[7, :m_s])
+    return best, bres, it_tot

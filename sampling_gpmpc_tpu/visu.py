@@ -167,6 +167,26 @@ def plot_sqp_iterate(out_path, X, U, dg=None, mean=None, std=None,
     return out_path
 
 
+def render_frames_video(frame_paths, out_path, fps: int = 2):
+    """Assemble saved debug frames (PNGs) into an animated GIF — the
+    per-SQP-iterate video of the reference's in-solve debug plots
+    (ref: src/solver.py:194-352 rendered per iteration)."""
+    from PIL import Image
+    if not frame_paths:
+        return None
+    imgs = [Image.open(p).convert("RGB") for p in frame_paths]
+    w = max(im.width for im in imgs)
+    h = max(im.height for im in imgs)
+    canv = []
+    for im in imgs:
+        bg = Image.new("RGB", (w, h), "white")
+        bg.paste(im, ((w - im.width) // 2, (h - im.height) // 2))
+        canv.append(bg)
+    canv[0].save(out_path, save_all=True, append_images=canv[1:],
+                 duration=int(1000 / fps), loop=0)
+    return out_path
+
+
 def _render_video(data, params, out_dir, nx, dims, tilde_eps, P):
     import matplotlib.animation as manimation
     try:
