@@ -98,3 +98,55 @@ def test_sample_complexity_calculators():
 
     assert num_samples_for_coverage(0.5, 0.05) == 5
     assert num_samples_for_coverage(1.0) == 1
+
+
+def test_change_of_measure_pipeline():
+    """Full epsilon(N) machinery on the pendulum1D config with tiny MC:
+    C_D assembles from its terms, N(delta) is finite, and the headline
+    count lands near the config's ns=70 (ref: num_of_samples.py:69 run on
+    params_pendulum1D_samples, which ships num_dyn_samples=70)."""
+    from sampling_gpmpc_tpu.tools import num_of_samples as nos
+    from sampling_gpmpc_tpu.tools import sample_complexity as sc
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    params, spec, data = load_problem(
+        os.path.join(here, "params", "params_pendulum1D_samples.yaml"))
+    res = nos.run(params, spec, data, n_mc=20000, n_grid_max=8,
+                  dense_factor=4)
+    cd = res["Cd"]
+    assert cd["Cd"] == pytest.approx(
+        cd["true_norm"] + cd["mean_norm"] - cd["cross"]
+        + cd["alpha_l1"] * params["agent"]["tight"]["w_bound"]
+        + 0.5 * cd["fit_term"])
+    assert 0.0 < res["p_ball"] <= 1.0
+    assert 30 < res["num_samples"] < 150   # config ships ns=70
+    # quantile curves grow with coverage probability
+    for n_idx in range(len(res["grids"])):
+        e50 = res["eps_curves"][0.5][n_idx]
+        e90 = res["eps_curves"][0.9][n_idx]
+        assert e90 >= e50 > 0
+
+    # chunked and one-shot draws agree in distribution (same factor)
+    Z, y = nos._train_values(params, spec, 0)
+    hyp = spec.gp
+    grid = sc.gp_input_grid(spec, data, 3)
+    k = jax.random.PRNGKey(7)
+    d1 = sc.max_deviation_samples_chunked(
+        Z, y, grid, np.asarray(hyp.lengthscale[0]), hyp.outputscale[0],
+        hyp.noise, 4000, k, chunk=512)
+    d2 = sc.max_deviation_samples(
+        Z, y, grid, np.asarray(hyp.lengthscale[0]), hyp.outputscale[0],
+        hyp.noise, 4000, k)
+    assert abs(np.median(d1) - np.median(d2)) < 0.2 * np.median(d2)
+
+
+def test_measure_shift_count_formula():
+    from sampling_gpmpc_tpu.tools.sample_complexity import (
+        num_samples_with_measure_shift)
+    # Cd = 0 reduces to the plain coverage bound
+    assert num_samples_with_measure_shift(0.0, 0.5, 0.05) == pytest.approx(
+        np.log(0.05) / np.log(0.5))
+    # larger Cd -> more samples
+    assert (num_samples_with_measure_shift(1.0, 0.5, 0.05)
+            > num_samples_with_measure_shift(0.0, 0.5, 0.05))
+    assert num_samples_with_measure_shift(0.0, 0.0) == float("inf")
