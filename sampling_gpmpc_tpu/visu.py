@@ -91,15 +91,43 @@ def draw_car(ax, state, length=2.8, width=1.4, color="crimson"):
     ax.add_patch(plt.Polygon(pts, closed=True, facecolor=color, alpha=0.8))
 
 
+def plot_koller_overlay(ax, koller: dict, dims=(0, 1), h_explode: int = 14):
+    """Robust-tube (Koller) comparison overlay: red outer ellipses, the
+    tube-center path, and the true rollout (ref: visu_main.py:145-151;
+    the mean path is clipped at the reference's H_explode=14 because the
+    Koller recursion blows up beyond it).  Axis limits are frozen to the
+    underlying trajectory plot first: the exploded late-stage ellipses
+    would otherwise autoscale the view to ~1e90."""
+    ax.relim()
+    xlim, ylim = ax.get_xlim(), ax.get_ylim()
+    for j, poly in enumerate(koller.get("ellipses", [])):
+        p = np.asarray(poly)
+        ax.plot(p[0], p[1], color="tab:red", alpha=0.7, lw=0.8,
+                label="robust tube (Koller)" if j == 0 else None)
+    centers = koller.get("centers")
+    if centers is not None and len(centers):
+        c = np.asarray(centers)[:h_explode].reshape(len(centers[:h_explode]),
+                                                    -1)
+        ax.plot(c[:, dims[0]], c[:, dims[1]], color="tab:blue", lw=1)
+    true = koller.get("true")
+    if true is not None and len(true):
+        t = np.asarray(true).reshape(len(true), -1)
+        ax.plot(t[:, dims[0]], t[:, dims[1]], ls="--", color="black", lw=0.8)
+    ax.set_xlim(xlim)
+    ax.set_ylim(ylim)
+
+
 def render_run(data: dict, params: dict, out_dir: str,
                tilde_eps=None, P=None, video: bool = False,
-               fname: str = "trajectory.png"):
+               fname: str = "trajectory.png", koller: dict = None):
     """Render a recorded run: closed-loop path + per-step plan fans.
 
     Args:
         data: dict loaded from data.pkl (Recorder.load).
         video: additionally write video_gp.mp4 frame-by-frame when an
             FFMpeg writer is available (ref: visu_main.py:116-212).
+        koller: optional robust-tube overlay dict with keys
+            ellipses/centers/true (from robust_tube_baseline.py).
     """
     os.makedirs(out_dir, exist_ok=True)
     nx = params["agent"]["dim"]["nx"]
@@ -112,6 +140,8 @@ def render_run(data: dict, params: dict, out_dir: str,
         plot_receding_traj(ax, X_flat, nx, dims)
         if tilde_eps is not None and P is not None:
             plot_reachable_ellipses(ax, X_flat, nx, P, tilde_eps, dims)
+    if koller is not None:
+        plot_koller_overlay(ax, koller, dims)
     phys = np.stack([np.asarray(p).reshape(-1, nx)[0]
                      for p in data["physical_state_traj"]])
     ax.plot(phys[:, dims[0]], phys[:, dims[1]], "k.-", linewidth=1.5,

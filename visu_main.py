@@ -20,6 +20,11 @@ def main():
     parser.add_argument("-env", type=int, default=0)
     parser.add_argument("-i", type=int, default=42)
     parser.add_argument("--video", action="store_true")
+    parser.add_argument("--plot-koller", action="store_true",
+                        help="overlay the robust-tube baseline's ellipses "
+                             "from koller_*.pkl written by "
+                             "benchmarking/robust_tube_baseline.py "
+                             "(ref: visu_main.py:79-85)")
     args = parser.parse_args()
 
     from sampling_gpmpc_tpu.config import load_problem
@@ -51,8 +56,23 @@ def main():
         else:
             tilde_eps = data.tilde_eps
 
+    koller = None
+    if args.plot_koller:
+        import pickle
+        kp = os.path.join(run_dir, "koller_ellipse_data.pkl")
+        if not os.path.exists(kp):
+            raise SystemExit(f"no {kp} — run benchmarking/"
+                             f"robust_tube_baseline.py with the same "
+                             f"-param/-env/-i first")
+        koller = {"ellipses": pickle.load(open(kp, "rb"))}
+        for key, name in (("centers", "koller_ellipse_center_data.pkl"),
+                          ("true", "koller_true_data.pkl")):
+            fp = os.path.join(run_dir, name)
+            if os.path.exists(fp):
+                koller[key] = pickle.load(open(fp, "rb"))
+
     path = render_run(rec, params, run_dir, tilde_eps=tilde_eps, P=P,
-                      video=args.video)
+                      video=args.video, koller=koller)
     print(f"wrote {path}")
 
 
