@@ -150,3 +150,45 @@ def test_measure_shift_count_formula():
     assert (num_samples_with_measure_shift(1.0, 0.5, 0.05)
             > num_samples_with_measure_shift(0.0, 0.5, 0.05))
     assert num_samples_with_measure_shift(0.0, 0.0) == float("inf")
+
+
+def test_lmi_terminal_set_beats_riccati():
+    """min -logdet LMI synthesis (ref: extra/pendulum_mpi.py:106-165):
+    the optimized invariant ellipse must satisfy the same certificate as
+    the Riccati route but with strictly larger volume, and respect the
+    state/input boxes."""
+    from sampling_gpmpc_tpu.tools.terminal_set import (synthesize,
+                                                       synthesize_lmi)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    params, spec, data = load_problem(
+        os.path.join(here, "params", "params_pendulum1D_samples.yaml"))
+    env = make_env(spec, params)
+    x_eq, u_eq = data.goal, np.zeros(spec.nu)
+    rng = np.random.default_rng(0)
+    pts = (np.concatenate([x_eq, u_eq])[None]
+           + 0.1 * rng.normal(size=(12, spec.nx + spec.nu)))
+    rho = 0.995
+
+    ts = synthesize_lmi(env, x_eq, u_eq, rho=rho, x_min=data.x_min,
+                        x_max=data.x_max, u_min=data.u_min,
+                        u_max=data.u_max, vertices=pts)
+    ts_r = synthesize(env, x_eq, u_eq, np.eye(spec.nx), np.eye(spec.nu),
+                      data.x_min, data.x_max, data.u_min, data.u_max,
+                      vertices=pts)
+
+    # certificate holds on the vertex set (constraint is active at the
+    # optimum, so allow solver slack)
+    assert ts.rho <= rho + 1e-6
+    vol = np.pi / np.sqrt(np.linalg.det(ts.P))
+    vol_r = np.pi * ts_r.delta ** 2 / np.sqrt(np.linalg.det(ts_r.P))
+    assert vol > vol_r * 1.5
+
+    # containment: ellipse support along e_i inside the state box, and
+    # the feedback input K x over the ellipse inside the input box
+    E = np.linalg.inv(ts.P)
+    bx = np.minimum(data.x_max - x_eq, x_eq - data.x_min)
+    assert np.all(np.sqrt(np.diag(E)) <= bx + 1e-8)
+    bu = np.minimum(data.u_max - u_eq, u_eq - data.u_min)
+    quad = np.sqrt(np.diag(ts.K @ E @ ts.K.T))
+    assert np.all(quad <= bu + 1e-8)
