@@ -71,6 +71,74 @@ def setup_solve(spec, data, env, device, dtype):
     return fn, args
 
 
+def setup_closed_loop(spec, data, env, device, dtype):
+    """Jitted closed-loop MPC step: solve (QP warm-started) -> apply u0 to
+    the plant -> shift the solution.  This is the workload the reference
+    times (`solver_time` inside the receding-horizon loop with acados QP
+    warm starts and solution shifting, ref: src/DEMPC.py:93-97,
+    src/utils/ocp.py:310, src/solver.py:174-189) — every solve after the
+    first is warm, exactly like deployment."""
+    from sampling_gpmpc_tpu import agent as agent_mod
+    from sampling_gpmpc_tpu.dempc import shift_solution
+    from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+    from sampling_gpmpc_tpu.ocp import sqp
+    from sampling_gpmpc_tpu.ocp.spec import make_ocp_data
+
+    ocp = make_ocp_data(spec, data, dtype)
+    hyp = GPHyperArrays.from_spec(spec.gp, dtype)
+    gp = agent_mod.init_gp_state(spec, env, dtype)
+    X, U = sqp.init_iterate(spec, dtype, data.start)
+    eps = agent_mod.make_epistemic(jax.random.PRNGKey(spec.seed), spec,
+                                   dtype)
+    x0 = jnp.asarray(data.start, dtype)
+    ws = sqp.init_qp_ws(spec, dtype)
+    K_fb = (jnp.asarray(data.K_fb, dtype) if spec.use_feedback else None)
+    goal = jnp.asarray(data.goal, dtype)
+
+    jstep = jax.jit(lambda x, X, U, gp, ws, wv, eps: _mpc_step(
+        spec, env, hyp, ocp, x, X, U, gp, ws, wv, eps, K_fb, goal,
+        shift_solution))
+
+    def step(carry, eps_m):
+        with jax.default_device(device):
+            return jstep(*carry, eps_m)
+
+    carry0 = jax.device_put(
+        (x0, X, U, gp, ws, jnp.asarray(False)), device)
+    eps = jax.device_put(eps, device)
+    return step, carry0, eps
+
+
+def _mpc_step(spec, env, hyp, ocp, x, X, U, gp, ws, wv, eps, K_fb, goal,
+              shift_solution):
+    from sampling_gpmpc_tpu.ocp import sqp
+
+    st = sqp.solve(spec, env, hyp, ocp, x, X, U, gp, eps,
+                   qp_ws=ws, qp_valid=wv)
+    X, U = st.X, st.U
+    u0 = U[0]
+    if K_fb is not None:
+        u0 = u0 - (goal - X[0, 0]) @ K_fb.T
+    x_next = env.discrete_dyn(X[0, 0], u0).reshape(-1)
+    if spec.shift_soln:
+        X, U = shift_solution(spec, X, U)
+    return x_next, X, U, st.gp, st.qp_ws, st.qp_valid
+
+
+def time_closed_loop(step, carry0, eps, n_warmup=3, n_iter=20):
+    """Steady-state MPC step rate: run the warmup transient, then time
+    n_iter chained steps, dispatch-pipelined with one final block."""
+    carry = carry0
+    for m in range(n_warmup):
+        carry = step(carry, eps[m % eps.shape[0]])
+    carry[0].block_until_ready()
+    t0 = time.perf_counter()
+    for m in range(n_iter):
+        carry = step(carry, eps[(n_warmup + m) % eps.shape[0]])
+    carry[0].block_until_ready()
+    return (time.perf_counter() - t0) / n_iter
+
+
 def time_solve(fn, args, n_warmup=2, n_iter=20):
     """Pipelined throughput timing: dispatch all solves, block once.
 
@@ -91,16 +159,17 @@ def time_solve(fn, args, n_warmup=2, n_iter=20):
 
 def main():
     dtype = jnp.float32
-    params, spec, data, env = build()
+    n_warmup, n_iter = 3, 20
+    params, spec, data, env = build({"num_mpc_iter": n_warmup + n_iter})
     profile_dir = os.environ.get("SGPMPC_PROFILE")
 
     dev = jax.devices()[0]
-    fn, args = setup_solve(spec, data, env, dev, dtype)
-    dt_dev = time_solve(fn, args)
+    step, carry0, eps = setup_closed_loop(spec, data, env, dev, dtype)
+    dt_dev = time_closed_loop(step, carry0, eps, n_warmup, n_iter)
     if profile_dir:
         # one traced window for jax.profiler / xprof (SURVEY §5 tracing)
         with jax.profiler.trace(profile_dir):
-            time_solve(fn, args, n_warmup=0, n_iter=5)
+            time_closed_loop(step, carry0, eps, n_warmup=1, n_iter=5)
         print(f"# trace written to {profile_dir}", file=sys.stderr)
     solves_per_s = 1.0 / dt_dev
 
@@ -109,8 +178,10 @@ def main():
     if dev.platform != "cpu":
         try:
             cpu = jax.devices("cpu")[0]
-            fn_c, args_c = setup_solve(spec, data, env, cpu, dtype)
-            dt_cpu = time_solve(fn_c, args_c, n_warmup=1, n_iter=3)
+            step_c, carry_c, eps_c = setup_closed_loop(
+                spec, data, env, cpu, dtype)
+            dt_cpu = time_closed_loop(step_c, carry_c, eps_c,
+                                      n_warmup=1, n_iter=3)
             vs_baseline = dt_cpu / dt_dev
         except Exception as e:  # noqa: BLE001
             print(f"# cpu baseline failed: {e}", file=sys.stderr)
@@ -118,7 +189,8 @@ def main():
     print(json.dumps({
         "metric": "sqp_solves_per_s",
         "value": round(solves_per_s, 3),
-        "unit": "solves/s (ns=64, H=20, full GP-sampling SQP-RTI step)",
+        "unit": "solves/s (ns=64, H=20, warm closed-loop GP-sampling "
+                "SQP-RTI steps: solve + plant step + shift)",
         "vs_baseline": round(vs_baseline, 3),
     }))
 

@@ -165,9 +165,23 @@ def _batched_posterior_incremental(spec: ProblemSpec, hyp: GPHyperArrays,
     return mean, cov
 
 
+def _batched_posterior_real(spec: ProblemSpec, hyp: GPHyperArrays,
+                            gp: GPState, Xt):
+    """Posterior from the cached real factor only (empty hall buffer)."""
+    wg = spec.use_derivatives
+
+    def pred_one(Xt1, rf1, ls, os_):
+        return exact.predict_real(Xt1, gp.real_Z, rf1, ls, os_, wg)
+
+    return jax.vmap(jax.vmap(pred_one, in_axes=(None, 0, 0, 0)),
+                    in_axes=(0, None, None, None))(
+        Xt, gp.real_fact, hyp.lengthscale, hyp.outputscale)
+
+
 def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                     gp: GPState, Xt: jnp.ndarray, eps: jnp.ndarray,
-                    axis_name=None) -> Tuple[jnp.ndarray, GPState]:
+                    axis_name=None,
+                    hall_empty: bool = False) -> Tuple[jnp.ndarray, GPState]:
     """One SQP iteration's GP function-sample draw + hallucination append.
 
     Mirrors get_batch_gp_sensitivities (ref: src/agent.py:566-627): the
@@ -203,7 +217,12 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     else:
         Z = jnp.zeros((spec.ns, spec.g_ny, 1, Xt.shape[-1]), Xt.dtype)
         Y = jnp.full((spec.ns, spec.g_ny, 1, Ty), jnp.nan, Xt.dtype)
-    mean, cov = _batched_posterior_incremental(spec, hyp, gp, Xt)
+    if hall_empty:
+        # SQP iteration 0: buffer reset at solve entry — skip the whole
+        # hall-block machinery (statically; see sqp.solve's peeled step)
+        mean, cov = _batched_posterior_real(spec, hyp, gp, Xt)
+    else:
+        mean, cov = _batched_posterior_incremental(spec, hyp, gp, Xt)
 
     if oracle_only:
         dg = jnp.zeros((spec.ns, spec.g_ny, H, Ty), Xt.dtype)
@@ -236,6 +255,9 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                            spec.g_ny, H, Ty)[None], dg)
         idx += 1
 
+    # the append feeds the NEXT iteration's conditioning AND the
+    # post-solve GP state (debug probes, recorder, buffer invariants) —
+    # keep it even in RTI mode where no further iteration consumes it
     if not oracle_only:
         gp = append_hall(spec, hyp, gp, Xt, dg,
                          Z if need_train_set else None)

@@ -58,10 +58,17 @@ class DEMPC:
         self.debug_sqp_dir = debug_sqp_dir
         self.sqp_records = []
         if debug_sqp_dir is not None:
-            self._solve_iter_dbg = jax.jit(
-                lambda st, X, U, gp, eps, ws, wv: sqp.sqp_iteration(
-                    spec, env, self.hyp, self.ocp, st, X, U, gp, eps,
-                    qp_ws=ws, qp_valid=wv, return_debug=True))
+            dbg_fns = {
+                he: jax.jit(
+                    lambda st, X, U, gp, eps, ws, wv, _he=he:
+                    sqp.sqp_iteration(
+                        spec, env, self.hyp, self.ocp, st, X, U, gp, eps,
+                        qp_ws=ws, qp_valid=wv, return_debug=True,
+                        hall_empty=_he))
+                for he in (False, True)}
+            self._solve_iter_dbg = (
+                lambda st, X, U, gp, eps, ws, wv, he:
+                dbg_fns[he](st, X, U, gp, eps, ws, wv))
             self._probe_dbg = jax.jit(
                 lambda gp, Xt: agent_mod.posterior_value_moments(
                     spec, self.hyp, gp, Xt))

@@ -436,6 +436,24 @@ def predict_from_w(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, with_grad: bool,
 
 
 @full_precision
+def predict_real(Xt, Z_r, rf, hyp_ls, hyp_os, with_grad: bool):
+    """Joint posterior from the cached real-data w-form factor ONLY.
+
+    The empty-hallucination fast path of SQP iteration 0: the buffer is
+    reset at solve entry (ref: src/agent.py:261-272 rebuilds on real data
+    at sqp_iter==0), so ``predict_update`` over identity-padded hall rows
+    is pure overhead there.  mean = V' w and cov = Ktt - V'V share the one
+    triangular solve V = L^-1 (K_xr ⊙ m)'.
+    """
+    Kx = kernel_matrix(Xt, Z_r, hyp_ls, hyp_os, with_grad) \
+        * rf["mask"][None, :]
+    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+    V = jax.scipy.linalg.solve_triangular(rf["L"], Kx.T, lower=True)
+    mean = V.T @ rf["w"]
+    cov = Ktt - V.T @ V
+    return mean, 0.5 * (cov + cov.T)
+
+
 def predict_update(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, jitter,
                    with_grad: bool):
     """Joint posterior using the block factorization.

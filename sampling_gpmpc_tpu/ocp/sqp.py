@@ -85,20 +85,22 @@ def _linearization_inputs(spec: ProblemSpec, ocp: OCPData, X, U):
 def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                   ocp: OCPData, st_curr, X, U, gp: GPState, eps,
                   axis_name=None, qp_ws=None, qp_valid=None,
-                  return_debug: bool = False):
+                  return_debug: bool = False, hall_empty: bool = False):
     """One full SQP-RTI iteration; returns updated (X, U, gp, status).
 
     With ``axis_name`` this body runs inside shard_map over the sample axis:
     GP sampling, linearization, condensing and constraint rows are
     shard-local; only the condensed cost and the QP's row-reductions cross
-    chips (SURVEY §2.4).
+    chips (SURVEY §2.4).  ``hall_empty`` statically specializes the GP
+    stage for iteration 0's freshly-reset hallucination buffer.
     """
     H, nx, nu, ns = spec.H, spec.nx, spec.nu, spec.ns
 
     xu = _linearization_inputs(spec, ocp, X, U)
     Xt = xu[..., jnp.asarray(spec.g_idx_inputs)]            # (ns, H, D)
     dg, gp = agent_mod.sample_dynamics(spec, env, hyp, gp, Xt, eps,
-                                       axis_name=axis_name)
+                                       axis_name=axis_name,
+                                       hall_empty=hall_empty)
     val, A, B = agent_mod.dyn_linearization(spec, env, xu, dg, ocp.K_fb)
 
     # delta dynamics: dx_{k+1} = A dx_k + B du_k + r_k with the linearization
@@ -144,11 +146,12 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
     def cond(s: SolveState):
         return (s.it < spec.max_sqp_iter) & ~s.done & (s.status == 0)
 
-    def body(s: SolveState):
+    def body(s: SolveState, hall_empty: bool = False):
         eps = jax.lax.dynamic_index_in_dim(eps_iters, s.it, keepdims=False)
         X, U, gp, sol = sqp_iteration(
             spec, env, hyp, ocp, st_curr, s.X, s.U, s.gp, eps,
-            axis_name=axis_name, qp_ws=s.qp_ws, qp_valid=s.qp_valid)
+            axis_name=axis_name, qp_ws=s.qp_ws, qp_valid=s.qp_valid,
+            hall_empty=hall_empty)
         status = sol.status
         # relative-change convergence on the *next* iteration's entry check
         # (ref: solver.py:57-81 compares consecutive post-QP iterates);
@@ -175,7 +178,13 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
         X=X0, U=U0, X_prev=X0, U_prev=U0, gp=gp0,
         it=jnp.asarray(0), status=jnp.asarray(0), done=jnp.asarray(False),
         qp_ws=qp_ws, qp_valid=qp_valid, qp_iters=jnp.asarray(0))
-    return jax.lax.while_loop(cond, body, init)
+    # iteration 0 peeled out of the loop: its hallucination buffer is
+    # empty BY CONSTRUCTION (reset above), so it runs the statically
+    # specialized GP stage; iterations >= 1 run the general body
+    first = body(init, hall_empty=True)
+    if spec.max_sqp_iter == 1:
+        return first
+    return jax.lax.while_loop(cond, body, first)
 
 
 def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
@@ -193,16 +202,16 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     Args:
         iter_fn / probe_fn: optional pre-jitted closures over
             (spec, env, hyp, ocp) to reuse across calls — signatures
-            ``iter_fn(st, X, U, gp, eps, ws, wv)`` with return_debug=True
-            and ``probe_fn(gp, Xt)``.
+            ``iter_fn(st, X, U, gp, eps, ws, wv, hall_empty)`` with
+            return_debug=True and ``probe_fn(gp, Xt)``.
     Returns:
         (SolveState, records): records is a list of per-iterate dicts
         with X, U (post-QP), dg, mean, std, x_diff, u_diff.
     """
     if iter_fn is None:
-        iter_fn = lambda st, X, U, gp, eps, ws, wv: sqp_iteration(
+        iter_fn = lambda st, X, U, gp, eps, ws, wv, he: sqp_iteration(
             spec, env, hyp, ocp, st, X, U, gp, eps,
-            qp_ws=ws, qp_valid=wv, return_debug=True)
+            qp_ws=ws, qp_valid=wv, return_debug=True, hall_empty=he)
     if probe_fn is None:
         probe_fn = lambda gp, Xt: agent_mod.posterior_value_moments(
             spec, hyp, gp, Xt)
@@ -228,7 +237,7 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         else:
             mean, std = probe_fn(gp, Xt)
         X_new, U_new, gp, sol, dbg = iter_fn(
-            st_curr, X, U, gp, eps_iters[it], qp_ws, qp_valid)
+            st_curr, X, U, gp, eps_iters[it], qp_ws, qp_valid, it == 0)
         qp_ws, qp_valid = sol.state, jnp.asarray(True)
         status = sol.status
         qp_iters += int(sol.iters)
