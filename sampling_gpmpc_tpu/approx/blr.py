@@ -26,27 +26,59 @@ class BLRPosterior(NamedTuple):
     mask: jnp.ndarray    # (g_ny, F) valid-feature mask
 
 
-def fit(feats: List, X: np.ndarray, Y: np.ndarray, lambda_reg: float,
-        noise_var: float, dtype=jnp.float64) -> BLRPosterior:
-    """Fit per-output weight posteriors.
+class BLRStats(NamedTuple):
+    """Host-side per-output sufficient statistics of the weight posterior.
+
+    A_j = Phi_j'Phi_j + lambda I,  b_j = Phi_j'y_j — enough to rebuild the
+    posterior exactly and to absorb new observations as rank-1 updates
+    (active learning, ref: extra/approx_sampling_mpc/src/agent.py:270-273
+    re-fits on the concatenated dataset; conjugacy makes that a rank-1
+    precision update here).
+    """
+    A: tuple     # per-output (F_j, F_j) numpy
+    b: tuple     # per-output (F_j,) numpy
+
+
+def stats_fit(feats: List, X: np.ndarray, Y: np.ndarray,
+              lambda_reg: float) -> BLRStats:
+    """Sufficient statistics from a batch dataset.
 
     Args:
         feats: list of per-output feature fns phi_j(x, u).
         X: (N, nx+nu) training inputs; Y: (N, g_ny) next-state targets.
     """
     nx = Y.shape[1]
-    mus, chols, masks = [], [], []
-    F = 0
-    per = []
+    As, bs = [], []
     for j, f in enumerate(feats):
         Phi = np.asarray(jax.vmap(lambda z: f(z[:nx], z[nx:]))(
             jnp.asarray(X)))
-        A = Phi.T @ Phi + lambda_reg * np.eye(Phi.shape[1])
-        mu = np.linalg.solve(A, Phi.T @ Y[:, j])
+        As.append(Phi.T @ Phi + lambda_reg * np.eye(Phi.shape[1]))
+        bs.append(Phi.T @ Y[:, j])
+    return BLRStats(A=tuple(As), b=tuple(bs))
+
+
+def stats_update(stats: BLRStats, feats: List, x, u,
+                 y: np.ndarray) -> BLRStats:
+    """Absorb ONE observed transition (x, u) -> y (rank-1 per output)."""
+    phis = [np.asarray(f(jnp.asarray(x), jnp.asarray(u))) for f in feats]
+    return BLRStats(
+        A=tuple(A + np.outer(p, p) for A, p in zip(stats.A, phis)),
+        b=tuple(b + p * y[j] for j, (b, p) in enumerate(
+            zip(stats.b, phis))))
+
+
+def posterior_from_stats(stats: BLRStats, noise_var: float,
+                         dtype=jnp.float64) -> BLRPosterior:
+    """Padded weight posterior  mu = A^-1 b,  Sigma = noise_var A^-1."""
+    per = []
+    F = 0
+    for A, b in zip(stats.A, stats.b):
+        mu = np.linalg.solve(A, b)
         Sigma = noise_var * np.linalg.inv(A)
-        L = np.linalg.cholesky(Sigma + 1e-18 * np.eye(Phi.shape[1]))
+        L = np.linalg.cholesky(Sigma + 1e-18 * np.eye(A.shape[0]))
         per.append((mu, L))
-        F = max(F, Phi.shape[1])
+        F = max(F, A.shape[0])
+    mus, chols, masks = [], [], []
     for mu, L in per:
         d = mu.shape[0]
         mu_p = np.zeros(F)
@@ -61,6 +93,13 @@ def fit(feats: List, X: np.ndarray, Y: np.ndarray, lambda_reg: float,
     return BLRPosterior(mu=jnp.asarray(np.stack(mus), dtype),
                         chol=jnp.asarray(np.stack(chols), dtype),
                         mask=jnp.asarray(np.stack(masks), dtype))
+
+
+def fit(feats: List, X: np.ndarray, Y: np.ndarray, lambda_reg: float,
+        noise_var: float, dtype=jnp.float64) -> BLRPosterior:
+    """Fit per-output weight posteriors (batch convenience wrapper)."""
+    return posterior_from_stats(stats_fit(feats, X, Y, lambda_reg),
+                                noise_var, dtype)
 
 
 def sample_weights(post: BLRPosterior, key, n: int) -> jnp.ndarray:

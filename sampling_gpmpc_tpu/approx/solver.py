@@ -54,18 +54,26 @@ class ApproxMPC:
         self.delta = float(tt["delta"])
         self.x_term = jnp.asarray(params["env"]["terminate_state"], dtype)
 
-        # BLR posterior over the fixed prior dataset
+        # BLR posterior over the prior dataset, kept as sufficient
+        # statistics so active learning can absorb observed transitions
+        # (ref: extra/approx_sampling_mpc/src/DEMPC.py:75-81)
         X, Y = self.model.training_grid()
-        self.post = blr.fit(self.feats, X, Y,
-                            float(ag["BLR"]["lambda_reg"]),
-                            float(ag["BLR"]["noise_var"]), dtype)
+        self._noise_var = float(ag["BLR"]["noise_var"])
+        self._stats = blr.stats_fit(self.feats, X, Y,
+                                    float(ag["BLR"]["lambda_reg"]))
+        self.post = blr.posterior_from_stats(self._stats, self._noise_var,
+                                             dtype)
         run = ag.get("run", {})
-        if run.get("true_param_as_sample", False):
+        self._use_gt_weights = bool(run.get("true_param_as_sample", False))
+        if self._use_gt_weights:
             W = self._pad_weights(self.model.gt_weights())
         else:
             # nominal = posterior mean (ref mean_as_dyn_sample=True path)
             W = self.post.mu
         self.W_nominal = W
+        al = params["common"].get("active_learning", {}) or {}
+        self.al_use = bool(al.get("use", False))
+        self.al_freq = max(1, int(al.get("frequency", 1)))
 
         self._solve = jax.jit(self._sqp_solve)
         self._tighten = jax.jit(self._tightening)
@@ -79,19 +87,36 @@ class ApproxMPC:
             W[j, :len(w)] = w
         return jnp.asarray(W, self.dtype)
 
-    def _tightening(self, x0, U, key):
+    def observe(self, x, u) -> None:
+        """Online-learn one true transition (active learning).
+
+        Mirrors ref DEMPC.py:75-81 / agent.py:270-273: evaluate the true
+        dynamics at the current (state, input), absorb it into the weight
+        posterior, refresh the nominal model.  The posterior is threaded
+        through the jitted solve as an ARGUMENT, so no retrace happens.
+        """
+        y = np.asarray(self._plant(jnp.asarray(x, self.dtype),
+                                   jnp.asarray(u, self.dtype)))
+        self._stats = blr.stats_update(self._stats, self.feats,
+                                       np.asarray(x), np.asarray(u), y)
+        self.post = blr.posterior_from_stats(self._stats, self._noise_var,
+                                             self.dtype)
+        if not self._use_gt_weights:
+            self.W_nominal = self.post.mu
+
+    def _tightening(self, x0, U, key, post, W_nom):
         """Delta_k = max_n |x^n_k - x^mu_k| (ref: solver.py:84-135)."""
-        Ws = blr.sample_weights(self.post, key, self.n_tight)
-        X_mu = blr.rollout(self.step_fn, x0, U, self.W_nominal)
+        Ws = blr.sample_weights(post, key, self.n_tight)
+        X_mu = blr.rollout(self.step_fn, x0, U, W_nom)
         X_s = jax.vmap(lambda W: blr.rollout(self.step_fn, x0, U, W))(Ws)
         return jnp.max(jnp.abs(X_s - X_mu[None]), axis=0)     # (H+1, nx)
 
-    def _sqp_iteration(self, x0, X, U, wpath, delta):
+    def _sqp_iteration(self, x0, X, U, wpath, delta, W_nom):
         H, nx, nu = self.H, self.nx, self.nu
         nU = H * nu
         dtype = self.dtype
 
-        vj = jax.vmap(lambda x, u: self.val_jac_fn(x, u, self.W_nominal))(
+        vj = jax.vmap(lambda x, u: self.val_jac_fn(x, u, W_nom))(
             X[:H], U)
         val = vj[:, :, 0]
         A = vj[:, :, 1:1 + nx]
@@ -165,10 +190,11 @@ class ApproxMPC:
         dX = T + jnp.einsum("kau,u->ka", Gamma, dU)
         return X + dX, U + dU.reshape(H, nu), sol.status
 
-    def _sqp_solve(self, x0, X, U, wpath, delta):
+    def _sqp_solve(self, x0, X, U, wpath, delta, W_nom):
         def body(i, carry):
             X, U, status = carry
-            X, U, status = self._sqp_iteration(x0, X, U, wpath, delta)
+            X, U, status = self._sqp_iteration(x0, X, U, wpath, delta,
+                                               W_nom)
             return X, U, status
 
         return jax.lax.fori_loop(0, self.max_sqp_iter, body,
@@ -284,12 +310,17 @@ class ApproxMPC:
             wpath = jnp.asarray(self.model.path_generator(m), self.dtype)
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
-            delta = self._tighten(x, U, sub)
-            X, U, status = self._solve(x, X, U, wpath, delta)
+            delta = self._tighten(x, U, sub, self.post, self.W_nominal)
+            X, U, status = self._solve(x, X, U, wpath, delta,
+                                       self.W_nominal)
             X.block_until_ready()
             times.append(time.perf_counter() - t0)
 
             u0 = U[0]
+            if self.al_use and m % self.al_freq == 0:
+                # observe the true transition at (x, u0) BEFORE stepping
+                # (ref DEMPC.py:72-81 learns at X_true_traj[0], U[0])
+                self.observe(np.asarray(X[0]), np.asarray(u0))
             phys.append(np.asarray(x))
             plans.append(np.asarray(X))
             tight_hist.append(np.asarray(delta))

@@ -62,7 +62,8 @@ def test_tightening_grows_with_horizon(params):
     mpc = ApproxMPC(params)
     x0 = jnp.asarray(params["env"]["start"], jnp.float64)
     U = jnp.zeros((mpc.H, mpc.nu), jnp.float64) + 2.0
-    delta = mpc._tighten(x0, U, jax.random.PRNGKey(0))
+    delta = mpc._tighten(x0, U, jax.random.PRNGKey(0), mpc.post,
+                         mpc.W_nominal)
     delta = np.asarray(delta)
     assert delta.shape == (mpc.H + 1, mpc.nx)
     assert np.allclose(delta[0], 0.0)
@@ -83,6 +84,58 @@ def test_closed_loop_tracks_and_avoids(params):
     for (cx, cy, r) in np.asarray(mpc.obstacles):
         d = np.sqrt((ph[:, 0] - cx) ** 2 + (ph[:, 1] - cy) ** 2)
         assert d.min() > r - 0.05, "obstacle violated in closed loop"
+
+
+def test_active_learning_rank1_matches_batch_refit(params):
+    """stats_update + posterior == batch fit on the augmented dataset —
+    the conjugacy identity the online path relies on."""
+    model = DroneModel(params)
+    feats = model.features()
+    X, Y = model.training_grid()
+    lam, nv = 1e-6, 2e-7
+    stats = blr.stats_fit(feats, X, Y, lam)
+
+    rng = np.random.default_rng(3)
+    xu_new = rng.uniform(-1, 1, size=(3, 8))
+    y_new = np.asarray(jax.vmap(
+        lambda z: model.discrete_dyn(z[:6], z[6:]))(jnp.asarray(xu_new)))
+    for k in range(3):
+        stats = blr.stats_update(stats, feats, xu_new[k, :6],
+                                 xu_new[k, 6:], y_new[k])
+    post_inc = blr.posterior_from_stats(stats, nv)
+
+    post_batch = blr.fit(feats, np.vstack([X, xu_new]),
+                         np.vstack([Y, y_new]), lam, nv)
+    np.testing.assert_allclose(np.asarray(post_inc.mu),
+                               np.asarray(post_batch.mu), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(post_inc.chol),
+                               np.asarray(post_batch.chol), atol=1e-9)
+
+
+def test_active_learning_closed_loop(params):
+    """active_learning.use: the posterior absorbs observed transitions —
+    precision grows, predictive error at the observed points drops, and
+    the closed loop still tracks (ref: DEMPC.py:75-81)."""
+    import copy
+    p = copy.deepcopy(params)
+    p["common"]["active_learning"] = {"use": True, "frequency": 2}
+    mpc = ApproxMPC(p)
+    assert mpc.al_use and mpc.al_freq == 2
+    tr_pre = [np.trace(A) for A in mpc._stats.A]
+    sig_pre = np.asarray(jax.vmap(jnp.diagonal)(jnp.einsum(
+        "jab,jcb->jac", mpc.post.chol, mpc.post.chol))).sum()
+
+    out = mpc.run(num_iters=8)
+    assert out["status"] == 0
+    # 8 steps at frequency 2 -> 4 observations absorbed
+    tr_post = [np.trace(A) for A in mpc._stats.A]
+    assert all(t1 > t0 for t0, t1 in zip(tr_pre, tr_post))
+    sig_post = np.asarray(jax.vmap(jnp.diagonal)(jnp.einsum(
+        "jab,jcb->jac", mpc.post.chol, mpc.post.chol))).sum()
+    assert sig_post < sig_pre          # posterior strictly sharpened
+    # nominal weights track the refreshed posterior mean
+    np.testing.assert_array_equal(np.asarray(mpc.W_nominal),
+                                  np.asarray(mpc.post.mu))
 
 
 def test_optimistic_plan(params):
