@@ -2,10 +2,15 @@
 
 Produces the (P, K, delta, rho) terminal ingredients consumed by the YAML
 configs.  The reference solves a min -logdet LMI with cvxpy over gridded
-(A, B) vertices (ref: extra/pendulum_mpi.py:106-165, car_mpi.py:14-60); no
-SDP solver is baked into this image, so we synthesize via the classical
-Riccati route and *verify* the same contraction and constraint-containment
-conditions a posteriori over sampled vertices:
+(A, B) vertices (ref: extra/pendulum_mpi.py:106-165, car_mpi.py:14-60).
+Two synthesis routes are provided here:
+
+- ``synthesize_lmi``: the reference's SDP itself — max logdet E subject to
+  the vertex contraction LMIs — solved from scratch with a log-barrier
+  Newton method in JAX (no cvxpy in this image).
+- ``synthesize``: the classical Riccati route, which *verifies* the same
+  contraction and constraint-containment conditions a posteriori over
+  sampled vertices:
 
   1. (A0, B0) = true-dynamics Jacobians at the equilibrium; K = dLQR gain,
      P = DARE solution (scaled).
