@@ -60,8 +60,14 @@ def main():
     x0 = jnp.asarray(data.start, dtype)
     gp0 = agent_mod.init_gp_state(spec, env, dtype, capacity=T)
 
+    # replay under the same ancillary feedback the plan assumed — without
+    # it the MC tube is the OPEN-loop reachable set and not comparable to
+    # the stabilized prediction fan (ref applies u = -K(x_eq-x)+u_ff,
+    # simulate_forward_sampling_car.py:122)
+    fb = ({"K": data.K_fb, "x_eq": data.goal}
+          if spec.use_feedback and data.K_fb is not None else None)
     rollout = jax.jit(lambda key: forward_sample_rollout(
-        spec, env, hyp, gp0, x0, U, key)[0])
+        spec, env, hyp, gp0, x0, U, key, use_feedback=fb)[0])
 
     out_dir = args.out or os.path.join(here, "experiments", "reachability",
                                        args.param + "_mc")
