@@ -177,6 +177,7 @@ class DEMPC:
                              self.dtype)
         X, U = sqp.init_iterate(spec, self.dtype, self.data.start)
         phys, inputs, plans, times, survivors = [], [], [], [], []
+        qp_iters = []
         # QP warm start carries across MPC steps (the row structure is
         # identical; ref: src/utils/ocp.py:310 HPIPM warm start)
         qp_ws = sqp.init_qp_ws(spec, self.dtype)
@@ -209,6 +210,7 @@ class DEMPC:
             inputs.append(np.asarray(U))
             plans.append(np.asarray(X))
             times.append(dt_solve)
+            qp_iters.append(int(st.qp_iters))
             if self.verbose:
                 # per-step console line (ref: src/DEMPC.py:72-79)
                 print(f"{bcolors.green}Reached: {m} "
@@ -241,5 +243,6 @@ class DEMPC:
             "final_state": np.asarray(x_curr),
             "sqp_iters": int(st.it),
             "sqp_status": int(st.status),
+            "qp_iters": qp_iters,
             "rejection_survivors": survivors,
         }

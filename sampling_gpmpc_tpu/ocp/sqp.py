@@ -249,6 +249,10 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
             "X": X_new, "U": U_new, "dg": dbg["dg"],
             "mean": mean, "std": std,
             "x_diff": x_diff, "u_diff": u_diff,
+            # per-QP diagnostics (ref prints residuals/iters per SQP iter,
+            # src/solver.py:133-144)
+            "qp_iters": int(sol.iters), "qp_gap": float(sol.gap),
+            "qp_status": int(sol.status),
         })
         X_prev, U_prev = X, U
         X, U = X_new, U_new
