@@ -249,11 +249,17 @@ def main():
     cs, Qs, means = map(np.asarray, (cs, Qs, means))
 
     # true-dynamics rollout along the same inputs+feedback for the overlay
-    true_list = [np.asarray(x0)]
-    for t in range(T):
-        x = jnp.asarray(true_list[-1], dtype)
-        u = U[t] + jnp.asarray(k_fb, dtype) @ (x - x_equi)
-        true_list.append(np.asarray(env.discrete_dyn(x, u)))
+    # — one jitted scan, not T eager steps (each eager op pays a relay
+    # round trip on the TPU; same fix as DEMPC's record rollouts)
+    K_j = jnp.asarray(k_fb, dtype)
+
+    def _true_step(x, u):
+        xn = env.discrete_dyn(x, u + K_j @ (x - x_equi)).reshape(-1)
+        return xn, xn
+
+    _, true_roll = jax.jit(lambda x0_, U_: jax.lax.scan(
+        _true_step, x0_, U_))(jnp.asarray(x0, dtype), U[:T])
+    true_list = [np.asarray(x0)] + [np.asarray(r) for r in true_roll]
 
     out_dir = (run_dir if run_dir is not None else
                (args.out or os.path.join(here, "experiments",

@@ -7,7 +7,10 @@ import glob
 import sys
 from collections import defaultdict
 
-from xprof.protobuf import xplane_pb2
+try:
+    from xprof.protobuf import xplane_pb2
+except ImportError:  # this image ships the proto under tensorflow/tsl
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
 
 def main():

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sampling_gpmpc_tpu.gp.kernel import kernel_matrix
+from sampling_gpmpc_tpu.setup import full_precision
 
 
 def _cg(matvec, gather, b_local, axis, tol, max_iter):
@@ -129,7 +130,11 @@ def sharded_posterior_fn(mesh: Mesh, axis: str, lengthscale, outputscale,
                    out_specs=(P(), P()),
                    check_vma=False)
 
+    @full_precision
     def wrapped(Z, y, noise_rows, X):
+        # full-f32 matmul precision is load-bearing here like every other
+        # GP posterior entry point (CLAUDE.md): the CG matvecs and the
+        # cov = K_xx - corr cancellation cannot survive bf16 passes
         Z = jax.device_put(Z, NamedSharding(mesh, P(axis)))
         y = jax.device_put(y, NamedSharding(mesh, P(axis)))
         noise_rows = jax.device_put(noise_rows, NamedSharding(mesh, P(axis)))

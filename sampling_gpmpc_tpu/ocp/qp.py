@@ -26,6 +26,27 @@ from sampling_gpmpc_tpu.setup import full_precision
 BIG = 1e8
 
 
+def _precond_factor(M, reg, eye):
+    """Jacobi-preconditioned Cholesky of a Newton/Schur matrix.
+
+    Load-bearing numerics (CLAUDE.md): the symmetric diagonal scaling
+    keeps the f32 factorization alive when penalty-weighted rows push the
+    condition number past single range.  Shared by solve_qp and
+    solve_qp_soft; the Pallas kernel (`ops/pallas_ipm.py::factorize`)
+    carries the in-kernel transliteration of the SAME recipe — change
+    both together.
+    """
+    dmc = jnp.clip(jnp.diagonal(M), 1e-30)
+    inv_s = jax.lax.rsqrt(dmc)
+    L = jnp.linalg.cholesky(inv_s[:, None] * M * inv_s[None, :] + reg * eye)
+    return inv_s, L
+
+
+def _precond_solve(inv_s, L, rhs):
+    """Newton direction against a `_precond_factor` factorization."""
+    return inv_s * jax.scipy.linalg.cho_solve((L, True), inv_s * rhs)
+
+
 
 # stall exit shared by the XLA loop and the fused Pallas kernel: stop
 # after this many iterations without a >=1 % best-KKT improvement (the
@@ -96,12 +117,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
         r_dual = P @ z + q + psum(C.T @ lam)
         r_prim = C @ z + s - d
         M = P + psum((C.T * w) @ C)
-        # Jacobi-preconditioned factorization: keeps f32 Cholesky alive when
-        # penalty-weighted rows push the condition number past single range
-        dmc = jnp.clip(jnp.diagonal(M), 1e-30)
-        inv_s = jax.lax.rsqrt(dmc)
-        Ms = inv_s[:, None] * M * inv_s[None, :]
-        L = jnp.linalg.cholesky(Ms + reg * eye)
+        inv_s, L = _precond_factor(M, reg, eye)
         return {"w": w, "r_dual": r_dual, "r_prim": r_prim,
                 "inv_s": inv_s, "L": L}
 
@@ -109,9 +125,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
         r_cent = lam * s - sigma_mu + ds_dlam_corr
         rhs = -aux["r_dual"] + psum(
             C.T @ (r_cent / s - aux["w"] * aux["r_prim"]))
-        inv_s = aux["inv_s"]
-        dz = inv_s * jax.scipy.linalg.cho_solve((aux["L"], True),
-                                                inv_s * rhs)
+        dz = _precond_solve(aux["inv_s"], aux["L"], rhs)
         ds = -aux["r_prim"] - C @ dz
         dlam = -(r_cent + lam * ds) / s
         return dz, ds, dlam
@@ -300,10 +314,7 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
             soft = None
 
         M = H + psum((G_h.T * w_h) @ G_h) + M_s
-        dmc = jnp.clip(jnp.diagonal(M), 1e-30)
-        inv_s = jax.lax.rsqrt(dmc)
-        Ms = inv_s[:, None] * M * inv_s[None, :]
-        L = jnp.linalg.cholesky(Ms + reg * eye)
+        inv_s, L = _precond_factor(M, reg, eye)
         return {"w_h": w_h, "rp_h": rp_h, "r1": r1, "soft": soft,
                 "inv_s": inv_s, "L": L}
 
@@ -329,9 +340,7 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
             rhs_s = 0.0
 
         rhs = -r1 + psum(G_h.T @ (b_h - w_h * rp_h)) - rhs_s
-        inv_s = aux["inv_s"]
-        du = inv_s * jax.scipy.linalg.cho_solve(
-            (aux["L"], True), inv_s * rhs)
+        du = _precond_solve(aux["inv_s"], aux["L"], rhs)
 
         dth = -(G_h @ du) - rp_h
         dlh = -b_h - w_h * dth

@@ -226,8 +226,13 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     status = jnp.asarray(0)
     qp_iters = 0
     x_diff = u_diff = float("inf")
-    oracle_only = (spec.true_dyn_as_sample or spec.mean_as_dyn_sample) \
-        and spec.ns <= 2
+    # mirror agent.sample_dynamics's EXACT predicate: probing posterior
+    # moments is skipped only when no live GP sample is drawn at all
+    oracle_only = (
+        (spec.true_dyn_as_sample or spec.mean_as_dyn_sample)
+        and spec.ns == 1
+    ) or (spec.true_dyn_as_sample and spec.mean_as_dyn_sample
+          and spec.ns == 2)
     while it < spec.max_sqp_iter:
         # moments of the entering model at the entering iterate
         xu = _linearization_inputs(spec, ocp, X, U)

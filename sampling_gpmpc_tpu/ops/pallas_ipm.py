@@ -107,6 +107,10 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
     f32 = jnp.float32
     nU_p = Hp.shape[0]
     qscale = qs[0, 0]
+    # remaining GLOBAL iteration budget (exact max_iter cap across chunks,
+    # matching the XLA twin's hard stop; trips beyond it are predicated
+    # dead — they cost their static time either way, module docstring)
+    budget = qs[0, 1].astype(jnp.int32)
     mu0 = qscale
 
     rows_n = jax.lax.broadcasted_iota(jnp.int32, (nU_p, nU_p), 0)
@@ -211,7 +215,9 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
     def factorize():
         """Residuals + Schur assembly + factorization of the CURRENT state,
         shared by the predictor and corrector solves (same weights =>
-        same matrix; ref XLA twin: ocp/qp.py::solve_qp_soft.factorize)."""
+        same matrix; ref XLA twin: ocp/qp.py::solve_qp_soft.factorize).
+        The Jacobi scaling transliterates ocp/qp.py::_precond_factor —
+        the two recipes must change together (load-bearing numerics)."""
         u, h, s = cu[...], ch[...], cs[...]
         th, lh = h[0:1], h[1:2]
         tU, tL, sl, su = s[0:1], s[1:2], s[2:3], s[3:4]
@@ -325,7 +331,7 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
     # the XLA caller re-invokes for hard problems
     def cond(c):
         it, stop, _ = c
-        return (it < max_iter) & (stop == 0)
+        return (it < max_iter) & (it < budget) & (stop == 0)
 
     def body(c):
         it, _, since = c
@@ -422,7 +428,10 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     s0 = jnp.stack(
         [jnp.ones((m_sp,), f32).at[:m_s].set(r) for r in s_rows]
         + [jnp.zeros((m_sp,), f32).at[:m_s].set(r) for r in d_rows])
-    qs = jnp.asarray(qscale, f32).reshape(1, 1)
+    # qs row: [qscale, remaining-budget]; the budget slot is refreshed per
+    # chunk so the fused path never exceeds max_iter total iterations
+    qs = jnp.stack([jnp.asarray(qscale, f32),
+                    jnp.asarray(0.0, f32)]).reshape(1, 2)
 
     chunk = min(CHUNK, int(max_iter))
     kern = functools.partial(_kernel, nU=nU, m_total=m_total,
@@ -466,8 +475,10 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
 
     def body(c):
         u_c, h_c, s_c, bu, bh, bs, bres, it_tot, _ = c
+        qs_c = qs.at[0, 1].set(
+            (jnp.int32(max_iter) - it_tot).astype(f32))
         (u_n, h_n, s_n, kbu, kbh, kbs, kres, kit, kstop) = call(
-            Hp, gp, Gth, dh, mh, Gts, sd, ms, u_c, h_c, s_c, qs)
+            Hp, gp, Gth, dh, mh, Gts, sd, ms, u_c, h_c, s_c, qs_c)
         kres = kres[0, 0]
         better = kres < bres
         bu = jnp.where(better, kbu, bu)

@@ -86,7 +86,9 @@ def run(params, spec, data, gp_idx: int = 0, delta: float = 0.001,
     eps_curves = {p: [float(np.quantile(devs[n], p)) for n in grids]
                   for p in probs}
 
-    p_ball = b_phi[0.0][-1]
+    # the headline N(delta) uses the small-ball probability AT dyn_eps
+    # itself (offset 0), independent of which sweep offsets were requested
+    p_ball = float(np.mean(devs[grids[-1]] <= dyn_eps))
     n_req = sc.num_samples_with_measure_shift(cd["Cd"], p_ball, delta)
     return {"grids": grids, "b_phi": b_phi, "eps_curves": eps_curves,
             "Cd": cd, "beta": beta, "p_ball": p_ball, "delta": delta,

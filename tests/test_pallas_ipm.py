@@ -41,6 +41,16 @@ def _xla_solve(args, monkeypatch, **kw):
         return solve_qp_soft(*args, **kw)
 
 
+@pytest.mark.parametrize("max_iter", [5, 20, 23])
+def test_fused_respects_max_iter_exactly(interp, max_iter):
+    """The chunked outer loop must not overshoot the global iteration cap
+    (the XLA twin stops at exactly max_iter), including caps that are not
+    multiples of the kernel CHUNK size."""
+    args = _rand_soft(7)
+    sol = solve_qp_soft(*args, max_iter=max_iter)
+    assert int(sol.iters) <= max_iter
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_fused_matches_xla(interp, monkeypatch, seed):
     args = _rand_soft(seed)
