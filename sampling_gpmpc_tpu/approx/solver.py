@@ -295,11 +295,22 @@ class ApproxMPC:
         return X, U, int(status)
 
     def run(self, num_iters=None, x0=None, key=None):
-        """Closed loop (ref: demo_obstacle_avoidance.py)."""
+        """Closed loop (ref: demo_obstacle_avoidance.py).
+
+        Planner selection mirrors the reference's flag pair (ref:
+        extra/approx_sampling_mpc/src/DEMPC.py:56-61): `run.optimistic`
+        plans with the eta-augmented exploration OCP, `run.pessimistic`
+        (which wins when both are set, like the reference's ordering)
+        with the tightened nominal OCP.
+        """
         import time
         num_iters = num_iters or self.params["common"]["num_MPC_itrs"]
         key = key if key is not None else jax.random.PRNGKey(
             self.params["experiment"]["rnd_seed"]["value"])
+        run_cfg = self.params["agent"].get("run", {})
+        pessimistic = bool(run_cfg.get("pessimistic", True))
+        optimistic = bool(run_cfg.get("optimistic", False)) and \
+            not pessimistic
         x = jnp.asarray(x0 if x0 is not None else
                         self.params["env"]["start"], self.dtype)
         X = jnp.broadcast_to(x[None], (self.H + 1, self.nx)).astype(self.dtype)
@@ -310,9 +321,15 @@ class ApproxMPC:
             wpath = jnp.asarray(self.model.path_generator(m), self.dtype)
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
-            delta = self._tighten(x, U, sub, self.post, self.W_nominal)
-            X, U, status = self._solve(x, X, U, wpath, delta,
-                                       self.W_nominal)
+            if optimistic:
+                delta = jnp.zeros((self.H + 1, self.nx), self.dtype)
+                X_a, U_a, status = self.solve_optimistic(x, wpath=wpath)
+                X, U = X_a, U_a[:, :self.nu]
+            else:
+                delta = self._tighten(x, U, sub, self.post,
+                                      self.W_nominal)
+                X, U, status = self._solve(x, X, U, wpath, delta,
+                                           self.W_nominal)
             X.block_until_ready()
             times.append(time.perf_counter() - t0)
 

@@ -138,6 +138,23 @@ def test_active_learning_closed_loop(params):
                                   np.asarray(mpc.post.mu))
 
 
+def test_optimistic_closed_loop(params):
+    """run.optimistic without pessimistic drives the loop through the
+    eta-augmented exploration OCP (ref DEMPC.py:56-61)."""
+    import copy
+    p = copy.deepcopy(params)
+    p["agent"]["run"]["optimistic"] = True
+    p["agent"]["run"]["pessimistic"] = False
+    p["optimizer"]["SEMPC"]["max_sqp_iter"] = 2
+    mpc = ApproxMPC(p)
+    out = mpc.run(num_iters=3)
+    assert out["status"] == 0
+    ph = np.stack(out["physical_state_traj"])
+    assert np.all(np.isfinite(ph))
+    # optimistic mode plans without tightenings
+    assert np.allclose(np.stack(out["tightenings"]), 0.0)
+
+
 def test_optimistic_plan(params):
     """Optimistic planning: eta within [-1,1] picks favorable dynamics; the
     optimistic plan must track the path at least as well as the nominal."""
