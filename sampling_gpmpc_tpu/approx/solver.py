@@ -79,6 +79,7 @@ class ApproxMPC:
         self._tighten = jax.jit(self._tightening)
         self._plant = jax.jit(
             lambda x, u: self.model.discrete_dyn(x, u))
+        self._opt_iter = None          # built lazily, jitted once
 
     def _pad_weights(self, w_list):
         F = self.post.mu.shape[1]
@@ -212,19 +213,49 @@ class ApproxMPC:
         return self.params.get("optimistic_optimizer",
                                self.params["optimizer"])
 
-    def optimistic_step(self, x, u, eta):
+    def optimistic_step(self, x, u, eta, post=None):
         """Dynamics with eta-scaled weights: w_j = mu_j + eta_j beta sigma_j."""
+        post = self.post if post is None else post
         beta = float(self.params["agent"].get("Dyn_gp_beta", 2.0))
         sig = jnp.sqrt(jax.vmap(jnp.diagonal)(
-            jnp.einsum("jab,jcb->jac", self.post.chol, self.post.chol)))
-        W = self.post.mu + eta[:, None] * beta * sig * self.post.mask
+            jnp.einsum("jab,jcb->jac", post.chol, post.chol)))
+        W = post.mu + eta[:, None] * beta * sig * post.mask
         return self.step_fn(x, u, W)
 
-    def solve_optimistic(self, x0, wpath=None, max_sqp_iter=None):
+    def solve_optimistic(self, x0, wpath=None, max_sqp_iter=None,
+                         X0=None, U0=None):
         """Optimistic plan from x0; returns (X, U_aug, status).
 
         U_aug stacks (u, eta) per stage; eta is box-bounded to [-1, 1].
+        X0/U0 optionally warm-start the SQP (the reference shifts the
+        optimistic solution between MPC steps too, solver.py
+        get_and_shift_solution).  The per-iteration solve is jitted ONCE
+        per instance (posterior threaded as an argument, like the
+        pessimistic path).
         """
+        cfg = self._opt_cfg()
+        H, nx = self.H, self.nx
+        nu_a = self.nu + nx
+        dtype = self.dtype
+        max_sqp_iter = max_sqp_iter or cfg["SEMPC"]["max_sqp_iter"]
+        if wpath is None:
+            wpath = jnp.asarray(self.model.path_generator(0), dtype)
+
+        x0 = jnp.asarray(x0, dtype)
+        X = (jnp.broadcast_to(x0[None], (H + 1, nx)).astype(dtype)
+             if X0 is None else jnp.asarray(X0, dtype))
+        U = (jnp.zeros((H, nu_a), dtype) if U0 is None
+             else jnp.asarray(U0, dtype))
+
+        if self._opt_iter is None:
+            self._opt_iter = self._build_opt_iteration()
+        status = jnp.asarray(0)
+        for _ in range(max_sqp_iter):
+            X, U, status = self._opt_iter(X, U, x0, wpath, self.post)
+        return X, U, int(status)
+
+    def _build_opt_iteration(self):
+        """Jitted optimistic SQP iteration (built once per instance)."""
         cfg = self._opt_cfg()
         H, nx, nu = self.H, self.nx, self.nu
         nu_a = nu + nx
@@ -233,26 +264,20 @@ class ApproxMPC:
         Qx = jnp.asarray(np.diag(cfg["Qx"][:2]), dtype)
         Qu_a = jnp.zeros((nu_a, nu_a), dtype).at[:nu, :nu].set(
             jnp.asarray(np.diag(cfg["Qu"][:nu]), dtype))
-        max_sqp_iter = max_sqp_iter or cfg["SEMPC"]["max_sqp_iter"]
-        if wpath is None:
-            wpath = jnp.asarray(self.model.path_generator(0), dtype)
 
-        x0 = jnp.asarray(x0, dtype)
-        X = jnp.broadcast_to(x0[None], (H + 1, nx)).astype(dtype)
-        U = jnp.zeros((H, nu_a), dtype)
+        def aug_step(x, ua, post):
+            return self.optimistic_step(x, ua[:nu], ua[nu:], post)
 
-        def aug_step(x, ua):
-            return self.optimistic_step(x, ua[:nu], ua[nu:])
-
-        def val_jac(x, ua):
-            val = aug_step(x, ua)
-            Jx = jax.jacfwd(aug_step, argnums=0)(x, ua)
-            Ju = jax.jacfwd(aug_step, argnums=1)(x, ua)
+        def val_jac(x, ua, post):
+            val = aug_step(x, ua, post)
+            Jx = jax.jacfwd(aug_step, argnums=0)(x, ua, post)
+            Ju = jax.jacfwd(aug_step, argnums=1)(x, ua, post)
             return val, Jx, Ju
 
         @jax.jit
-        def iteration(X, U):
-            val, A, B = jax.vmap(val_jac)(X[:H], U)
+        def iteration(X, U, x0, wpath, post):
+            val, A, B = jax.vmap(lambda x, ua: val_jac(x, ua, post))(
+                X[:H], U)
             r = val - X[1:]
             T, Gamma = condense_single(A, B, r, x0 - X[0])
 
@@ -289,10 +314,7 @@ class ApproxMPC:
             dX = T + jnp.einsum("kau,u->ka", Gamma, dU)
             return X + dX, U + dU.reshape(H, nu_a), sol.status
 
-        status = jnp.asarray(0)
-        for _ in range(max_sqp_iter):
-            X, U, status = iteration(X, U)
-        return X, U, int(status)
+        return iteration
 
     def run(self, num_iters=None, x0=None, key=None):
         """Closed loop (ref: demo_obstacle_avoidance.py).
@@ -323,7 +345,14 @@ class ApproxMPC:
             t0 = time.perf_counter()
             if optimistic:
                 delta = jnp.zeros((self.H + 1, self.nx), self.dtype)
-                X_a, U_a, status = self.solve_optimistic(x, wpath=wpath)
+                X_a, U_a, status = self.solve_optimistic(
+                    x, wpath=wpath,
+                    X0=X_aug if m > 0 else None,
+                    U0=U_aug if m > 0 else None)
+                # shift-carry the augmented solution (ref shifts the
+                # optimistic solver's iterate too)
+                X_aug = jnp.concatenate([X_a[1:], X_a[-1:]])
+                U_aug = jnp.concatenate([U_a[1:], U_a[-1:]])
                 X, U = X_a, U_a[:, :self.nu]
             else:
                 delta = self._tighten(x, U, sub, self.post,
