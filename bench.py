@@ -13,10 +13,63 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("SGPMPC_DTYPE", "float32")
+
+
+def _run_worker(env_extra: dict, timeout_s: float):
+    """Run this script as a watchdogged child; return its JSON line or None.
+
+    The axon TPU relay can hang uninterruptibly at ANY stage (backend
+    init, compile, or the first transfer) when the tunnel flaps; jax
+    cannot be aborted from Python once blocked.  So the parent process
+    never imports jax: the whole bench runs in a killable child, and a
+    hung child is abandoned (it may survive SIGKILL in D-state until its
+    syscall returns — do not wait to reap it).
+    """
+    import tempfile
+    env = dict(os.environ, SGPMPC_BENCH_WORKER="1", **env_extra)
+    with tempfile.TemporaryFile(mode="w+") as out:
+        try:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=out, stderr=sys.stderr, env=env)
+        except OSError:
+            return None
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            return None
+        if rc != 0:
+            return None
+        out.seek(0)
+        for line in out.read().splitlines():
+            if line.startswith("{"):
+                return line
+    return None
+
+
+if os.environ.get("SGPMPC_BENCH_WORKER") != "1":
+    # orchestrator: accelerator attempt -> host-CPU fallback -> failure
+    # record; the driver contract is ONE JSON line, never a hang
+    line = _run_worker({}, float(os.environ.get("SGPMPC_BENCH_TIMEOUT",
+                                                "900")))
+    if line is None:
+        print("# accelerator bench hung or failed; host-CPU fallback",
+              file=sys.stderr, flush=True)
+        line = _run_worker({"JAX_PLATFORMS": "cpu",
+                            "PALLAS_AXON_POOL_IPS": ""}, 900.0)
+    if line is None:
+        line = json.dumps({
+            "metric": "sqp_solves_per_s", "value": 0.0,
+            "unit": "BENCH FAILED: accelerator and host-CPU runs both "
+                    "hung or crashed", "vs_baseline": 0.0})
+    print(line, flush=True)
+    sys.exit(0)
 
 import jax
 import jax.numpy as jnp
@@ -95,9 +148,12 @@ def setup_closed_loop(spec, data, env, device, dtype):
     K_fb = (jnp.asarray(data.K_fb, dtype) if spec.use_feedback else None)
     goal = jnp.asarray(data.goal, dtype)
 
+    # donate the carry buffers (iterate, GP buffers, warm-start state):
+    # in-place device updates instead of per-step re-allocation
+    donate = (0, 1, 2, 3, 4) if device.platform != "cpu" else ()
     jstep = jax.jit(lambda x, X, U, gp, ws, wv, eps: _mpc_step(
         spec, env, hyp, ocp, x, X, U, gp, ws, wv, eps, K_fb, goal,
-        shift_solution))
+        shift_solution), donate_argnums=donate)
 
     def step(carry, eps_m):
         with jax.default_device(device):

@@ -49,10 +49,16 @@ class DEMPC:
         self.epistemic = agent_mod.make_epistemic(key, spec, self.dtype)
         self.recorder = recorder
 
+        # donate the per-step-replaced buffers (iterate, GP hallucination
+        # buffers, QP warm-start state) so the device updates them in
+        # place instead of re-allocating each MPC step; CPU has no
+        # donation support and would only warn
+        donate = ((1, 2, 3, 5) if jax.default_backend() != "cpu" else ())
         self._solve = jax.jit(
             lambda st, X, U, gp, eps, ws, wv: sqp.solve(
                 spec, env, self.hyp, self.ocp, st, X, U, gp, eps,
-                qp_ws=ws, qp_valid=wv))
+                qp_ws=ws, qp_valid=wv),
+            donate_argnums=donate)
         # opt-in per-SQP-iterate recording (ref: src/solver.py:153-154):
         # frames rendered per MPC step into debug_sqp_dir
         self.debug_sqp_dir = debug_sqp_dir
