@@ -24,6 +24,12 @@ def main():
     parser.add_argument("-param", default="params_drone_obstacles_approx")
     parser.add_argument("-i", type=int, default=1)
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--active-learning", type=int, default=None,
+                        metavar="FREQ", help="observe the true transition "
+                        "every FREQ steps (common.active_learning)")
+    parser.add_argument("--optimistic", action="store_true",
+                        help="plan with the eta-augmented exploration OCP "
+                        "(agent.run.optimistic)")
     args = parser.parse_args()
 
     import yaml
@@ -34,6 +40,12 @@ def main():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     params = yaml.safe_load(open(os.path.join(
         here, "params", args.param + ".yaml")))
+    if args.active_learning is not None:
+        params["common"]["active_learning"] = {
+            "use": True, "frequency": int(args.active_learning)}
+    if args.optimistic:
+        params["agent"]["run"]["optimistic"] = True
+        params["agent"]["run"]["pessimistic"] = False
     dtype = default_dtype()
 
     print(f"start={params['env']['start'][:2]} "
