@@ -53,11 +53,28 @@ def _run_worker(env_extra: dict, timeout_s: float):
     return None
 
 
+if os.environ.get("SGPMPC_BENCH_PROBE") == "1":
+    # device probe child: exits 0 iff the default backend initializes
+    import jax
+    jax.devices()
+    print("{}")
+    sys.exit(0)
+
+
 if os.environ.get("SGPMPC_BENCH_WORKER") != "1":
-    # orchestrator: accelerator attempt -> host-CPU fallback -> failure
-    # record; the driver contract is ONE JSON line, never a hang
-    line = _run_worker({}, float(os.environ.get("SGPMPC_BENCH_TIMEOUT",
-                                                "900")))
+    # orchestrator: cheap backend probe -> accelerator attempt -> host-CPU
+    # fallback -> failure record; the driver contract is ONE JSON line,
+    # never a hang.  The probe catches the common failure mode (relay down
+    # at backend init) in ~90 s instead of burning the full accelerator
+    # budget before falling back.
+    probe = _run_worker({"SGPMPC_BENCH_PROBE": "1"}, 90.0)
+    line = None
+    if probe is None:
+        print("# accelerator backend init hung; host-CPU fallback",
+              file=sys.stderr, flush=True)
+    else:
+        line = _run_worker({}, float(os.environ.get("SGPMPC_BENCH_TIMEOUT",
+                                                    "480")))
     if line is None:
         print("# accelerator bench hung or failed; host-CPU fallback",
               file=sys.stderr, flush=True)

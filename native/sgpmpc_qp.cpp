@@ -187,12 +187,20 @@ extern "C" int sgpmpc_solve_qp_soft(
     double r_stat = 0;
     for (int j = 0; j < nU; ++j) r_stat = std::max(r_stat, std::fabs(r1[j]));
     r_stat /= qscale;
+    // primal rows measured RELATIVE to bound magnitude, matching
+    // ocp/qp.py::kkt_residual: far-inactive rows (|bound| ~ 1e8-1e12
+    // after equilibration) have an eps*|bound| cancellation floor in
+    // their slack identity that an absolute residual mistakes for
+    // non-convergence
     double r_prim = 0;
     for (int i = 0; i < mh; ++i)
-      r_prim = std::max(r_prim, std::fabs(Ghu[i] + th[i] - dh[i]));
+      r_prim = std::max(
+          r_prim, std::fabs(Ghu[i] + th[i] - dh[i]) / (1.0 + std::fabs(dh[i])));
     for (int i = 0; i < ms; ++i) {
-      r_prim = std::max(r_prim, std::fabs(Gsu[i] - su[i] + tU[i] - hi[i]));
-      r_prim = std::max(r_prim, std::fabs(-Gsu[i] - sl[i] + tL[i] + lo[i]));
+      r_prim = std::max(r_prim, std::fabs(Gsu[i] - su[i] + tU[i] - hi[i]) /
+                                    (1.0 + std::fabs(hi[i])));
+      r_prim = std::max(r_prim, std::fabs(-Gsu[i] - sl[i] + tL[i] + lo[i]) /
+                                    (1.0 + std::fabs(lo[i])));
     }
     double compl_ = 0;
     for (int i = 0; i < mh; ++i) compl_ += th[i] * lh[i];

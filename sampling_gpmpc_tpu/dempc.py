@@ -183,7 +183,7 @@ class DEMPC:
                              self.dtype)
         X, U = sqp.init_iterate(spec, self.dtype, self.data.start)
         phys, inputs, plans, times, survivors = [], [], [], [], []
-        qp_iters = []
+        qp_iters, statuses, gaps = [], [], []
         # QP warm start carries across MPC steps (the row structure is
         # identical; ref: src/utils/ocp.py:310 HPIPM warm start)
         qp_ws = sqp.init_qp_ws(spec, self.dtype)
@@ -217,6 +217,8 @@ class DEMPC:
             plans.append(np.asarray(X))
             times.append(dt_solve)
             qp_iters.append(int(st.qp_iters))
+            statuses.append(int(st.status))
+            gaps.append(float(st.qp_gap))
             if self.verbose:
                 # per-step console line (ref: src/DEMPC.py:72-79)
                 print(f"{bcolors.green}Reached: {m} "
@@ -250,5 +252,7 @@ class DEMPC:
             "sqp_iters": int(st.it),
             "sqp_status": int(st.status),
             "qp_iters": qp_iters,
+            "sqp_status_traj": statuses,
+            "qp_gap_traj": gaps,
             "rejection_survivors": survivors,
         }

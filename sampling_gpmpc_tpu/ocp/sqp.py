@@ -47,6 +47,7 @@ class SolveState(NamedTuple):
     qp_ws: tuple          # PDIP warm-start state (ref: src/utils/ocp.py:310)
     qp_valid: jnp.ndarray  # bool: qp_ws holds a usable previous solution
     qp_iters: jnp.ndarray  # cumulative PDIP iterations (diagnostics)
+    qp_gap: jnp.ndarray    # last QP's best KKT residual (diagnostics)
 
 
 def init_qp_ws(spec: ProblemSpec, dtype):
@@ -122,7 +123,14 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     X_new = X + jnp.swapaxes(dX, 0, 1)
     U_new = U + dU.reshape(H, nu)
     if return_debug:
-        return X_new, U_new, gp, sol, {"dg": dg, "Xt": Xt}
+        return X_new, U_new, gp, sol, {
+            "dg": dg, "Xt": Xt,
+            # the assembled QP itself (debug/repro: failed instances can
+            # be dumped and re-solved standalone)
+            "qp": {"H": H_U, "g": g_U, "C_h": C_h, "d_h": d_h,
+                   "G_s": soft.G, "lo_s": soft.lo, "hi_s": soft.hi,
+                   "zl": zl, "zu": zu, "Zl": Zl, "Zu": Zu},
+        }
     return X_new, U_new, gp, sol
 
 
@@ -153,6 +161,14 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
             axis_name=axis_name, qp_ws=s.qp_ws, qp_valid=s.qp_valid,
             hall_empty=hall_empty)
         status = sol.status
+        # a FAILED QP's step must not be consumed (ref: solver.py:146-151
+        # breaks before fetching the failed solve's iterate): keep the
+        # entering iterate and drop the garbage warm-start state.  The GP
+        # hallucination append stays — it was drawn at the entering
+        # iterate, before the QP (ref: agent sampling precedes the solve).
+        ok = status == 0
+        X = jnp.where(ok, X, s.X)
+        U = jnp.where(ok, U, s.U)
         # relative-change convergence on the *next* iteration's entry check
         # (ref: solver.py:57-81 compares consecutive post-QP iterates);
         # under sharding the Frobenius norms reduce over all shards
@@ -168,8 +184,9 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
         done = (x_diff < spec.tol_nlp) & (u_diff < spec.tol_nlp)
         return SolveState(X=X, U=U, X_prev=s.X, U_prev=s.U, gp=gp,
                           it=s.it + 1, status=status, done=done,
-                          qp_ws=sol.state, qp_valid=jnp.asarray(True),
-                          qp_iters=s.qp_iters + sol.iters)
+                          qp_ws=sol.state, qp_valid=ok,
+                          qp_iters=s.qp_iters + sol.iters,
+                          qp_gap=sol.gap)
 
     if qp_ws is None:
         qp_ws = init_qp_ws(spec, X0.dtype)
@@ -177,7 +194,8 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
     init = SolveState(
         X=X0, U=U0, X_prev=X0, U_prev=U0, gp=gp0,
         it=jnp.asarray(0), status=jnp.asarray(0), done=jnp.asarray(False),
-        qp_ws=qp_ws, qp_valid=qp_valid, qp_iters=jnp.asarray(0))
+        qp_ws=qp_ws, qp_valid=qp_valid, qp_iters=jnp.asarray(0),
+        qp_gap=jnp.asarray(jnp.inf, X0.dtype))
     # iteration 0 peeled out of the loop: its hallucination buffer is
     # empty BY CONSTRUCTION (reset above), so it runs the statically
     # specialized GP stage; iterations >= 1 run the general body
@@ -243,9 +261,13 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
             mean, std = probe_fn(gp, Xt)
         X_new, U_new, gp, sol, dbg = iter_fn(
             st_curr, X, U, gp, eps_iters[it], qp_ws, qp_valid, it == 0)
-        qp_ws, qp_valid = sol.state, jnp.asarray(True)
         status = sol.status
         qp_iters += int(sol.iters)
+        if int(status) != 0:
+            # failed QP: do not consume its step or warm-start state
+            # (mirrors solve()'s in-graph revert)
+            X_new, U_new = X, U
+        qp_ws, qp_valid = sol.state, jnp.asarray(int(status) == 0)
         x_diff = float(jnp.linalg.norm(X_new[:spec.H] - X[:spec.H])
                        / (jnp.linalg.norm(X[:spec.H]) + 1e-6))
         u_diff = float(jnp.linalg.norm(U_new - U)
@@ -257,7 +279,7 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
             # per-QP diagnostics (ref prints residuals/iters per SQP iter,
             # src/solver.py:133-144)
             "qp_iters": int(sol.iters), "qp_gap": float(sol.gap),
-            "qp_status": int(sol.status),
+            "qp_status": int(sol.status), "qp": dbg["qp"],
         })
         X_prev, U_prev = X, U
         X, U = X_new, U_new
@@ -271,5 +293,5 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                     done=jnp.asarray(x_diff < spec.tol_nlp
                                      and u_diff < spec.tol_nlp),
                     qp_ws=qp_ws, qp_valid=qp_valid,
-                    qp_iters=jnp.asarray(qp_iters))
+                    qp_iters=jnp.asarray(qp_iters), qp_gap=sol.gap)
     return st, records

@@ -91,15 +91,17 @@ def _pad_lanes(x, n, fill=0.0):
 def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
             # outputs: current state (chunk exit), chunk-best state,
             # chunk-best residual, iterations executed, stop flag
-            cu, ch, cs, bu, bh, bs, bres, bit, bstop,
+            cu, ch, cs, bu, bh, bs, bres, bit, bstop, bsince,
             # scratch
             dAu, dAh, dAs, dCu, dCh, dCs,
             Lr, wh, rph, sx, r1r, sst,
             *, nU: int, m_total: int, tol: float, reg: float,
-            max_iter: int, stall_iters: int, stall_rtol: float):
+            max_iter: int, stall_iters: int, stall_rtol: float,
+            mu_grind: float):
     """One grid program: a CHUNK of ``max_iter`` Mehrotra iterations.
 
-    Ref rows: sd = [lo, hi, zl, zu, Zl, Zu];
+    Ref rows: sd = [lo, hi, zl, zu, Zl, Zu, wU, wL] (wU/wL the relative
+    primal-residual weights mask/(1+|bound|)); dh = [d_h, w_h];
     soft state rows = [tU, tL, sl, su, lU, lL, nl, nu];
     sx (factorize aux) rows = [w_U, w_L, w_Pl, w_Pu, rp_U, rp_L, r2, r3,
     Dl, Du]; hard state rows = [th, lh].
@@ -111,6 +113,10 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
     # matching the XLA twin's hard stop; trips beyond it are predicated
     # dead — they cost their static time either way, module docstring)
     budget = qs[0, 1].astype(jnp.int32)
+    # stall counter and global best residual are CARRIED ACROSS CHUNKS via
+    # qs so the stall semantics exactly match the XLA twin's single loop
+    since0 = qs[0, 2].astype(jnp.int32)
+    gbest = qs[0, 3]
     mu0 = qscale
 
     rows_n = jax.lax.broadcasted_iota(jnp.int32, (nU_p, nU_p), 0)
@@ -148,14 +154,18 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
                 + GsT_v(s[4:5] - s[5:6]))
 
     def kkt(u, h, s):
+        # primal rows weighted RELATIVE to bound magnitude (rows 1 of dh /
+        # 6-7 of sd carry mask/(1+|bound|)), mirroring the XLA twin: far
+        # rows have an eps*|bound| cancellation floor in their slack
+        # identity that an absolute residual mistakes for non-convergence
         r1 = stationarity(u, h, s)
         r_stat = jnp.max(jnp.abs(r1)) / qscale
         gu = Gh_u(u)
-        rp_h = jnp.abs(gu + h[0:1] - dh[...]) * mh[...]
+        rp_h = jnp.abs(gu + h[0:1] - dh[0:1]) * dh[1:2]
         gsu = Gs_u(u)
         rp_U = gsu - s[3:4] + s[0:1] - sd[1:2]
         rp_L = -gsu - s[2:3] + s[1:2] + sd[0:1]
-        rp_s = jnp.maximum(jnp.abs(rp_U), jnp.abs(rp_L)) * ms[...]
+        rp_s = jnp.maximum(jnp.abs(rp_U) * sd[6:7], jnp.abs(rp_L) * sd[7:8])
         r_prim = jnp.maximum(jnp.max(rp_h), jnp.max(rp_s))
         c = compl(h, s) / (m_total * qscale)
         return jnp.maximum(jnp.maximum(r_stat, r_prim), c)
@@ -227,7 +237,7 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
 
         w_h = lh / th
         wh[...] = w_h
-        rph[...] = Gh_u(u) + th - dh[...]
+        rph[...] = Gh_u(u) + th - dh[0:1]
         r1r[...] = stationarity(u, h, s)
 
         w_U, w_L = lU / tU, lL / tL
@@ -324,7 +334,7 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
     bu[...] = u0[...]
     bh[...] = h0[...]
     bs[...] = s0[...]
-    sst[0] = jnp.asarray(jnp.inf, f32)        # chunk-best residual
+    sst[0] = gbest                 # best-so-far residual (global, carried)
 
     # the loop bound is the CHUNK size; every trip costs whether live or
     # predicated off (module docstring), so the bound is kept small and
@@ -362,9 +372,13 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
             cs[...] = s_n
 
         res = jnp.where(ok, kkt(cu[...], ch[...], cs[...]), jnp.inf)
-        # stall exit mirrors the XLA twin (qp.STALL_ITERS/STALL_RTOL)
+        # stall exit mirrors the XLA twin (qp.STALL_ITERS/STALL_RTOL/
+        # MU_GRIND): count only in the mu-exhausted grind regime —
+        # high-mu plateaus are legitimate progress on hard active sets
         meaningful = res < sst[0] * (1.0 - stall_rtol)
-        since = jnp.where(meaningful, 0, since + 1)
+        mu_new = compl(ch[...], cs[...]) / m_total
+        grinding = mu_new < mu_grind * mu0
+        since = jnp.where(meaningful | ~grinding, 0, since + 1)
 
         @pl.when(res < sst[0])
         def _():
@@ -373,21 +387,22 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
             bs[...] = cs[...]
             sst[0] = res
 
-        mu_new = compl(ch[...], cs[...]) / m_total
         live = ok & (mu_new > 1e-14 * mu0)
         stop = (~live) | (sst[0] <= tol) | (since >= stall_iters)
         return it + 1, stop.astype(jnp.int32), since
 
-    it_f, stop_f, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    it_f, stop_f, since_f = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), since0))
     bres[0, 0] = sst[0]
     bit[0, 0] = it_f
     bstop[0, 0] = stop_f
+    bsince[0, 0] = since_f
 
 
 def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
                  st0, qscale, tol: float, reg: float, max_iter: int,
-                 stall_iters: int = 10, stall_rtol: float = 0.01):
+                 stall_iters: int = 10, stall_rtol: float = 0.01,
+                 mu_grind: float = 1e-6):
     """Run the fused IPM loop; mirrors the XLA while_loop in
     ``ocp.qp.solve_qp_soft`` given the SAME (already equilibrated)
     problem data and initial state.
@@ -406,7 +421,13 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     Hp = Hp + jnp.diag(jnp.arange(nU_p) >= nU).astype(f32)
     gp = jnp.zeros((1, nU_p), f32).at[0, :nU].set(g)
     Gth = jnp.zeros((nU_p, m_hp), f32).at[:nU, :m_h].set(G_h.T)
-    dh = jnp.ones((1, m_hp), f32).at[0, :m_h].set(d_h)
+    # dh row 1 / sd rows 6-7: relative primal-residual weights
+    # mask/(1+|bound|) (zero on padding), matching the XLA twin's
+    # kkt_residual
+    dh = jnp.stack([
+        jnp.ones((m_hp,), f32).at[:m_h].set(d_h),
+        jnp.zeros((m_hp,), f32).at[:m_h].set(1.0 / (1.0 + jnp.abs(d_h))),
+    ])
     mh = jnp.zeros((1, m_hp), f32).at[0, :m_h].set(1.0)
     Gts = jnp.zeros((nU_p, m_sp), f32).at[:nU, :m_s].set(G_s.T)
     ms = jnp.zeros((1, m_sp), f32).at[0, :m_s].set(1.0)
@@ -417,6 +438,8 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         jnp.zeros((m_sp,), f32).at[:m_s].set(zu),
         jnp.ones((m_sp,), f32).at[:m_s].set(Zl),
         jnp.ones((m_sp,), f32).at[:m_s].set(Zu),
+        jnp.zeros((m_sp,), f32).at[:m_s].set(1.0 / (1.0 + jnp.abs(hi_s))),
+        jnp.zeros((m_sp,), f32).at[:m_s].set(1.0 / (1.0 + jnp.abs(lo_s))),
     ])
 
     (u_0, sl_0, su_0, th_0, lh_0, tU_0, lU_0, tL_0, lL_0, nl_0, nu_0) = st0
@@ -428,22 +451,25 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     s0 = jnp.stack(
         [jnp.ones((m_sp,), f32).at[:m_s].set(r) for r in s_rows]
         + [jnp.zeros((m_sp,), f32).at[:m_s].set(r) for r in d_rows])
-    # qs row: [qscale, remaining-budget]; the budget slot is refreshed per
-    # chunk so the fused path never exceeds max_iter total iterations
-    qs = jnp.stack([jnp.asarray(qscale, f32),
-                    jnp.asarray(0.0, f32)]).reshape(1, 2)
+    # qs row: [qscale, remaining-budget, stall-counter, global-best-res];
+    # slots 1-3 are refreshed per chunk so the fused path caps at exactly
+    # max_iter iterations and keeps XLA-twin stall semantics across chunks
+    qs = jnp.stack([jnp.asarray(qscale, f32), jnp.asarray(0.0, f32),
+                    jnp.asarray(0.0, f32),
+                    jnp.asarray(jnp.inf, f32)]).reshape(1, 4)
 
     chunk = min(CHUNK, int(max_iter))
     kern = functools.partial(_kernel, nU=nU, m_total=m_total,
                              tol=float(tol), reg=float(reg),
                              max_iter=chunk, stall_iters=int(stall_iters),
-                             stall_rtol=float(stall_rtol))
+                             stall_rtol=float(stall_rtol),
+                             mu_grind=float(mu_grind))
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     call = pl.pallas_call(
         kern,
         in_specs=[vspec() for _ in range(11)] + [sspec()],
-        out_specs=[vspec()] * 6 + [sspec()] * 3,
+        out_specs=[vspec()] * 6 + [sspec()] * 4,
         out_shape=[jax.ShapeDtypeStruct((1, nU_p), f32),
                    jax.ShapeDtypeStruct((2, m_hp), f32),
                    jax.ShapeDtypeStruct((8, m_sp), f32),
@@ -451,6 +477,7 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
                    jax.ShapeDtypeStruct((2, m_hp), f32),
                    jax.ShapeDtypeStruct((8, m_sp), f32),
                    jax.ShapeDtypeStruct((1, 1), f32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         scratch_shapes=[
@@ -470,32 +497,32 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     # chunked outer loop: each trip runs one fixed-size kernel chunk from
     # the CURRENT iterate and merges its chunk-best into the running best
     def cond(c):
-        _, _, _, _, _, _, _, it_tot, stop = c
+        _, _, _, _, _, _, _, it_tot, stop, _ = c
         return (it_tot < max_iter) & (stop == 0)
 
     def body(c):
-        u_c, h_c, s_c, bu, bh, bs, bres, it_tot, _ = c
-        qs_c = qs.at[0, 1].set(
-            (jnp.int32(max_iter) - it_tot).astype(f32))
-        (u_n, h_n, s_n, kbu, kbh, kbs, kres, kit, kstop) = call(
+        u_c, h_c, s_c, bu, bh, bs, bres, it_tot, _, since = c
+        qs_c = (qs.at[0, 1].set((jnp.int32(max_iter) - it_tot)
+                                .astype(f32))
+                  .at[0, 2].set(since.astype(f32))
+                  .at[0, 3].set(bres))
+        (u_n, h_n, s_n, kbu, kbh, kbs, kres, kit, kstop, ksince) = call(
             Hp, gp, Gth, dh, mh, Gts, sd, ms, u_c, h_c, s_c, qs_c)
         kres = kres[0, 0]
+        # stall/convergence/death decisions all live IN the kernel (the
+        # counter and global best are threaded through qs), so the outer
+        # loop only merges bests and forwards the kernel's stop flag
         better = kres < bres
         bu = jnp.where(better, kbu, bu)
         bh = jnp.where(better, kbh, bh)
         bs = jnp.where(better, kbs, bs)
-        # cross-chunk stall: the in-kernel counter resets each chunk, so a
-        # chunk that fails to improve the global best meaningfully also
-        # stops the outer loop
-        stalled = kres >= bres * (1.0 - stall_rtol)
         bres = jnp.minimum(kres, bres)
-        stop = jnp.maximum(kstop[0, 0], stalled.astype(jnp.int32))
         return (u_n, h_n, s_n, bu, bh, bs, bres,
-                it_tot + kit[0, 0], stop)
+                it_tot + kit[0, 0], kstop[0, 0], ksince[0, 0])
 
     init = (u0, h0, s0, u0, h0, s0, jnp.asarray(jnp.inf, f32),
-            jnp.int32(0), jnp.int32(0))
-    (_, _, _, bu, bh, bs, bres, it_tot, _) = jax.lax.while_loop(
+            jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    (_, _, _, bu, bh, bs, bres, it_tot, _, _) = jax.lax.while_loop(
         cond, body, init)
 
     best = (bu[0, :nU], bs[2, :m_s], bs[3, :m_s], bh[0, :m_h],

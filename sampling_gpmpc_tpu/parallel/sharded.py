@@ -53,7 +53,7 @@ def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
     state_spec = sqp.SolveState(
         X=P(None, axis), U=P(), X_prev=P(None, axis), U_prev=P(),
         gp=gp_spec, it=P(), status=P(), done=P(),
-        qp_ws=ws_spec, qp_valid=P(), qp_iters=P())
+        qp_ws=ws_spec, qp_valid=P(), qp_iters=P(), qp_gap=P())
 
     # OCPData: only the per-sample cost weights are sharded
     ocp_specs = type(ocp)(*([P()] * len(ocp)))._replace(w_cost=P(axis))

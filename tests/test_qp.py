@@ -237,7 +237,11 @@ def test_warm_start_reduces_pipeline_iters():
         os.path.abspath(__file__))), "params")
     params, spec, data = load_problem(
         os.path.join(pdir, "params_pendulum1D_samples.yaml"))
-    spec = dataclasses.replace(spec, ns=8, num_mpc_iter=8)
+    # enough MPC steps to get past the transient: warm starting pays in
+    # the steady-state regime (carried duals near-optimal); the first few
+    # transient steps are roughly iteration-neutral under the relative
+    # primal-residual metric
+    spec = dataclasses.replace(spec, ns=8, num_mpc_iter=24)
     params["agent"]["num_dyn_samples"] = 8
     env = make_env(spec, params)
     dtype = jnp.float64
