@@ -53,7 +53,7 @@ def _run_worker(env_extra: dict, timeout_s: float):
     return None
 
 
-if os.environ.get("SGPMPC_BENCH_PROBE") == "1":
+if __name__ == "__main__" and os.environ.get("SGPMPC_BENCH_PROBE") == "1":
     # device probe child: exits 0 iff the default backend initializes
     import jax
     jax.devices()
@@ -61,7 +61,10 @@ if os.environ.get("SGPMPC_BENCH_PROBE") == "1":
     sys.exit(0)
 
 
-if os.environ.get("SGPMPC_BENCH_WORKER") != "1":
+if __name__ == "__main__" and os.environ.get("SGPMPC_BENCH_WORKER") != "1":
+    # orchestrate only when run as a script: importers (e.g.
+    # profiling/stage_breakdown.py) need the module's functions, not a
+    # bench run followed by sys.exit
     # orchestrator: cheap backend probe -> accelerator attempt -> host-CPU
     # fallback -> failure record; the driver contract is ONE JSON line,
     # never a hang.  The probe catches the common failure mode (relay down

@@ -19,6 +19,7 @@ from sampling_gpmpc_tpu.tools.goldens import (GOLDEN_ATOL, GOLDEN_CONFIGS,
                                               load_golden, run_closed_loop)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("config", GOLDEN_CONFIGS)
 def test_golden_closed_loop(config):
     golden = load_golden(config)
