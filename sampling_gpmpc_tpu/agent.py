@@ -214,9 +214,14 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     need_train_set = hyp.min_data_dist >= 0.0
     if need_train_set:
         Z, Y = full_train_set(spec, gp)
+        # ||Xt - Z|| once: shared by the min-dist sample override and the
+        # hallucination dedup filter (identical matrix, op-count savings)
+        dist = jnp.linalg.norm(
+            Xt[:, None, :, None, :] - Z[:, :, None, :, :], axis=-1)
     else:
         Z = jnp.zeros((spec.ns, spec.g_ny, 1, Xt.shape[-1]), Xt.dtype)
         Y = jnp.full((spec.ns, spec.g_ny, 1, Ty), jnp.nan, Xt.dtype)
+        dist = None
     if hall_empty:
         # SQP iteration 0: buffer reset at solve entry — skip the whole
         # hall-block machinery (statically; see sqp.solve's peeled step)
@@ -230,14 +235,15 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         pv = jax.vmap(lambda ls, os_: exact.prior_task_variances(
             ls, os_, Ty))(hyp.lengthscale, hyp.outputscale)   # (g_ny, Ty)
 
-        def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1, pv1):
+        def samp_one(Xt1, Z1, Y1, mean1, cov1, eps1, pv1, dist1):
             return exact.sample_with_overrides(
                 Xt1, Z1, Y1, None, mean1, cov1, eps1.reshape(-1), hyp, Ty,
-                prior_var=pv1)
+                prior_var=pv1, dist=dist1)
 
-        dg = jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0, 0)),
-                      in_axes=(0, 0, 0, 0, 0, 0, None))(
-            Xt, Z, Y, mean, cov, eps, pv)            # (ns, g_ny, H, Ty)
+        dg = jax.vmap(jax.vmap(samp_one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0)),
+                      in_axes=(0, 0, 0, 0, 0, 0, None,
+                               0 if dist is not None else None))(
+            Xt, Z, Y, mean, cov, eps, pv, dist)      # (ns, g_ny, H, Ty)
 
     # debug overrides address *global* sample indices 0 (and 1); under
     # shard_map these live on shard 0, so mask by the global index
@@ -260,25 +266,30 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     # keep it even in RTI mode where no further iteration consumes it
     if not oracle_only:
         gp = append_hall(spec, hyp, gp, Xt, dg,
-                         Z if need_train_set else None)
+                         Z if need_train_set else None, dist=dist)
     return dg, gp
 
 
 def filter_near_duplicates(spec: ProblemSpec, hyp: GPHyperArrays,
-                           Xt, dg, Z_full):
+                           Xt, dg, Z_full, dist=None):
     """NaN-mask observations at near-duplicate new points.
 
     Near-duplicate new points (within min_data_dist of any existing
     conditioning point) get NaN observations so they are masked out —
     the static-shape version of the reference's filter
     (ref: src/agent.py:164-202).
+
+    Args:
+        dist: optional precomputed (ns, g_ny, P, M) ||Xt - Z_full|| matrix
+            (shared with the sampling min-dist override).
     Returns (newZ, newY) shaped (ns, g_ny, P, ...).
     """
     newZ = jnp.broadcast_to(Xt[:, None], (spec.ns, spec.g_ny) + Xt.shape[1:])
     newY = dg
     if hyp.min_data_dist >= 0.0:
-        dist = jnp.linalg.norm(
-            newZ[:, :, :, None, :] - Z_full[:, :, None, :, :], axis=-1)
+        if dist is None:
+            dist = jnp.linalg.norm(
+                newZ[:, :, :, None, :] - Z_full[:, :, None, :, :], axis=-1)
         too_close = jnp.any(dist <= hyp.min_data_dist, axis=-1)  # (ns,g_ny,P)
         newY = jnp.where(too_close[..., None], jnp.nan, newY)
     return newZ, newY
@@ -296,9 +307,9 @@ def append_hall_raw(gp: GPState, newZ, newY) -> GPState:
 
 
 def append_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
-                Xt, dg, Z_full) -> GPState:
+                Xt, dg, Z_full, dist=None) -> GPState:
     """Append this iteration's samples to the hallucination buffer."""
-    newZ, newY = filter_near_duplicates(spec, hyp, Xt, dg, Z_full)
+    newZ, newY = filter_near_duplicates(spec, hyp, Xt, dg, Z_full, dist=dist)
     return append_hall_raw(gp, newZ, newY)
 
 

@@ -141,8 +141,11 @@ def predict(Xt, Z, fact, hyp_ls, hyp_os, jitter, with_grad: bool):
         mean: (Ht,), cov: (Ht, Ht) with Ht = H*(1+D) (or H when value-only),
         point-major interleaved — matching GPyTorch's MultitaskMVN layout.
     """
-    Kx = kernel_matrix(Xt, Z, hyp_ls, hyp_os, with_grad)
-    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+    R = fact["mask"].shape[0]
+    Kall = kernel_matrix(Xt, jnp.concatenate([Z, Xt], axis=0),
+                         hyp_ls, hyp_os, with_grad)
+    Kx = Kall[:, :R]
+    Ktt = Kall[:, R:]
 
     Kxm = Kx * fact["mask"][None, :]
     mean = Kx @ fact["alpha"]          # masked alpha entries are exactly zero
@@ -172,7 +175,7 @@ def prior_task_variances(hyp_ls, hyp_os, Ty: int):
 
 
 def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
-                          Ty_test: int, prior_var=None):
+                          Ty_test: int, prior_var=None, dist=None):
     """Full sampling pipeline of the reference's ``sample_gp``
     (ref: src/agent.py:629-730) for one (sample, output) pair.
 
@@ -197,6 +200,9 @@ def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
             bounded f64 rollouts vs 1e8 blowups in f32).  The reference
             runs this workload in torch f64 where the same noise is 1e-14
             and harmless.
+        dist: optional precomputed (H, M) ||Xt - Z|| matrix — the same
+            matrix the hallucination dedup filter needs, so callers that
+            run both compute it once.
     Returns:
         (H, Ty_test) sampled values(+gradients).
     """
@@ -213,7 +219,9 @@ def sample_with_overrides(Xt, Z, Y, fact, mean, cov, eps, hyp: GPHyperArrays,
         y = jnp.where(all_zero, mu, y)
 
     if hyp.min_data_dist >= 0.0:
-        dist = jnp.linalg.norm(Xt[:, None, :] - Z[None, :, :], axis=-1)  # (H, M)
+        if dist is None:
+            dist = jnp.linalg.norm(
+                Xt[:, None, :] - Z[None, :, :], axis=-1)                 # (H, M)
         row_invalid = jnp.any(jnp.isnan(Y), axis=-1)                     # (M,)
         dist = jnp.where(row_invalid[None, :], jnp.inf, dist)
         close = jnp.any(dist <= hyp.min_data_dist, axis=1, keepdims=True)
@@ -281,10 +289,14 @@ def condition_update(rf, Z_r, Z_h, Y_h, hyp_ls, hyp_os, noise_diag, jitter,
     m_r = rf["mask"]
 
     grad = with_grad and Ty > 1
-    K_rh = kernel_matrix(Z_r, Z_h, hyp_ls, hyp_os, grad)
-    A_rh = m_r[:, None] * K_rh * m_h[None, :]
-    K_hh = kernel_matrix(Z_h, Z_h, hyp_ls, hyp_os, grad)
-    K_hh = K_hh + jnp.diag(jnp.tile(noise_diag, Mh))
+    # one kernel evaluation for both cross and self blocks (rows are
+    # point-major, so [Z_r; Z_h] vs Z_h splits by row offset); the stage
+    # is op-count bound at these shapes (BENCH_NOTES GP-stage profiling)
+    R_r = m_r.shape[0]
+    K_all = kernel_matrix(jnp.concatenate([Z_r, Z_h], axis=0), Z_h,
+                          hyp_ls, hyp_os, grad)
+    A_rh = m_r[:, None] * K_all[:R_r] * m_h[None, :]
+    K_hh = K_all[R_r:] + jnp.diag(jnp.tile(noise_diag, Mh))
     A_hh = m_h[:, None] * K_hh * m_h[None, :] + jnp.diag(1.0 - m_h)
 
     C = jax.scipy.linalg.solve_triangular(rf["L"], A_rh, lower=True)
@@ -422,11 +434,13 @@ def predict_from_w(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, with_grad: bool,
     alpha_h = solve(uf["L_s"].T, uf["w_h"], False)
     alpha_r = solve(rf["L"].T, rf["w"] - uf["C"] @ alpha_h, False)
 
-    Kx_r = kernel_matrix(Xt, Z_r, hyp_ls, hyp_os, with_grad) \
-        * rf["mask"][None, :]
-    Kx_h = kernel_matrix(Xt, Z_h, hyp_ls, hyp_os, with_grad) \
-        * uf["mask_h"][None, :]
-    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+    R_r = rf["mask"].shape[0]
+    R_h = uf["mask_h"].shape[0]
+    Kall = kernel_matrix(Xt, jnp.concatenate([Z_r, Z_h, Xt], axis=0),
+                         hyp_ls, hyp_os, with_grad)
+    Kx_r = Kall[:, :R_r] * rf["mask"][None, :]
+    Kx_h = Kall[:, R_r:R_r + R_h] * uf["mask_h"][None, :]
+    Ktt = Kall[:, R_r + R_h:]
 
     mean = Kx_r @ alpha_r + Kx_h @ alpha_h
     V_r = solve(rf["L"], Kx_r.T, True)
@@ -444,10 +458,17 @@ def predict_real(Xt, Z_r, rf, hyp_ls, hyp_os, with_grad: bool):
     at sqp_iter==0), so ``predict_update`` over identity-padded hall rows
     is pure overhead there.  mean = V' w and cov = Ktt - V'V share the one
     triangular solve V = L^-1 (K_xr ⊙ m)'.
+
+    K_xr and K_tt come from ONE kernel evaluation against the
+    concatenated points [Z_r; Xt]: the elementwise closed forms are
+    identical either way, and at these shapes the stage is op-count
+    bound, not FLOP bound (BENCH_NOTES GP-stage profiling).
     """
-    Kx = kernel_matrix(Xt, Z_r, hyp_ls, hyp_os, with_grad) \
-        * rf["mask"][None, :]
-    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+    R = rf["L"].shape[0]
+    Kall = kernel_matrix(Xt, jnp.concatenate([Z_r, Xt], axis=0),
+                         hyp_ls, hyp_os, with_grad)
+    Kx = Kall[:, :R] * rf["mask"][None, :]
+    Ktt = Kall[:, R:]
     V = jax.scipy.linalg.solve_triangular(rf["L"], Kx.T, lower=True)
     mean = V.T @ rf["w"]
     cov = Ktt - V.T @ V
@@ -460,12 +481,17 @@ def predict_update(Xt, Z_r, Z_h, rf, uf, hyp_ls, hyp_os, jitter,
 
     mean = Kx @ alpha; cov = Ktt - V_r'V_r - V_h'V_h with
     V_r = L_r^-1 (Kx_r ⊙ m_r)',  V_h = L_s^-1 ((Kx_h ⊙ m_h)' - C'V_r).
+
+    All three kernel blocks come from ONE evaluation against the
+    concatenated points [Z_r; Z_h; Xt] (op-count bound stage).
     """
-    Kx_r = kernel_matrix(Xt, Z_r, hyp_ls, hyp_os, with_grad) \
-        * rf["mask"][None, :]
-    Kx_h = kernel_matrix(Xt, Z_h, hyp_ls, hyp_os, with_grad) \
-        * uf["mask_h"][None, :]
-    Ktt = kernel_matrix(Xt, Xt, hyp_ls, hyp_os, with_grad)
+    R_r = rf["mask"].shape[0]
+    R_h = uf["mask_h"].shape[0]
+    Kall = kernel_matrix(Xt, jnp.concatenate([Z_r, Z_h, Xt], axis=0),
+                         hyp_ls, hyp_os, with_grad)
+    Kx_r = Kall[:, :R_r] * rf["mask"][None, :]
+    Kx_h = Kall[:, R_r:R_r + R_h] * uf["mask_h"][None, :]
+    Ktt = Kall[:, R_r + R_h:]
 
     mean = Kx_r @ uf["alpha_r"] + Kx_h @ uf["alpha_h"]
     V_r = jax.scipy.linalg.solve_triangular(rf["L"], Kx_r.T, lower=True)

@@ -58,6 +58,22 @@ STALL_RTOL = 0.01
 MU_GRIND = 1e-6
 # solution acceptance: status 0 iff best KKT residual <= STATUS_RTOL * tol
 STATUS_RTOL = 1e3
+# warm-start per-pair dual band, multiples of mu_ws (see solve_qp_soft's
+# warm block).  A pure numerical-sanity safeguard, deliberately NOT a
+# re-center: clamping carried duals toward mu_ws/slack was measured to
+# DESTROY near-optimal carries.  Active rows sit at slack
+# th ≈ tau·(1+|d|) ≈ 1e-4, so a 0.1·mu_ws/th dual floor forced their
+# multipliers to ~qscale, and near-degenerate row pairs carry huge
+# (~1e8) almost-cancelling duals that any cap breaks — either way the
+# IPM started at KKT ~10 with mu ~ 1e-4·mu0, the classic
+# small-mu/large-residual stall (self-warm re-solves: 110 iterations vs
+# 32 cold; car closed loop: +28 % total iterations warm).  Measured over
+# the pendulum1D/car pipelines, bands {(0.1,10), (1e-4,1e4),
+# (1e-8,1e12), (0,inf)} gave car totals 3824/2292/1903/1892 warm
+# (cold 1810-2976 — within-step SQP carries are affected too): wider is
+# strictly better, and (1e-8,1e12) ~ (0,inf) within noise while still
+# bounding denormal/garbage pairs away from step-blocking territory.
+WS_BAND = (1e-8, 1e12)
 
 
 class QPSolution(NamedTuple):
@@ -415,17 +431,9 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         rq = pmax(jnp.max(jnp.abs(r_w))) / qscale
         tau = jnp.clip(rq, 1e-4, 1.0)
         mu_ws = mu0 * tau
-        # Per-pair complementarity re-centered into [0.1, 10]·mu_ws around
-        # primal-feasible slacks at u=0 — pairs far below the warm target
-        # block steps, pairs far above (active set changed between
-        # linearizations) stall centering.  A dual-centered alternative
-        # (slack = mu_ws/λ, carried duals kept) measured faster on small
-        # random chained QPs but ~20 % slower on the real condensed MPC
-        # problems (thousands of near-duplicate sample rows: keeping their
-        # arbitrarily-split active duals with tiny slacks degrades the
-        # Newton systems), so the primal-feasible scheme is used for all
-        # row families.
-        floor, cap = 0.1 * mu_ws, 10.0 * mu_ws
+        # Per-pair complementarity band around primal-feasible slacks at
+        # u=0 (multiples of mu_ws; see WS_BAND above).
+        floor, cap = WS_BAND[0] * mu_ws, WS_BAND[1] * mu_ws
         tau_h = tau * (1.0 + jnp.abs(d_h))
         th_w = jnp.maximum(d_h, tau_h)
         lh_w = jnp.clip(lh_w, floor / th_w, cap / th_w)
