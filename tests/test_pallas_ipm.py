@@ -79,20 +79,49 @@ def test_fused_bench_shape(interp, monkeypatch):
                                atol=2e-3)
 
 
+def _kkt_residual_f64(args, sol):
+    """Independent f64 KKT residual of a returned iterate on the ORIGINAL
+    (un-equilibrated) problem data — pins 'status 0' to real convergence,
+    not just to the solver's own internally-scaled bookkeeping."""
+    H, g, G_h, d_h, G_s, lo, hi, zl, zu, Zl, Zu = [
+        np.asarray(a, np.float64) for a in args]
+    u, sl, su, th, lh, tU, lU, tL, lL, nl, nu = [
+        np.asarray(a, np.float64) for a in sol.state]
+    qscale = 1.0 + np.max(np.abs(g)) + np.max(zl)
+    r_stat = np.max(np.abs(H @ u + g + G_h.T @ lh + G_s.T @ (lU - lL)))
+    r_soft = max(np.max(np.abs(Zl * sl + zl - lL - nl)),
+                 np.max(np.abs(Zu * su + zu - lU - nu)))
+    r_prim = max(np.max(np.abs(G_h @ u + th - d_h) / (1 + np.abs(d_h))),
+                 np.max(np.abs(G_s @ u - su + tU - hi) / (1 + np.abs(hi))),
+                 np.max(np.abs(-(G_s @ u) - sl + tL + lo) / (1 + np.abs(lo))))
+    m = d_h.shape[0] + 4 * lo.shape[0]
+    compl = th @ lh + tU @ lU + tL @ lL + sl @ nl + su @ nu
+    return max((r_stat + r_soft) / qscale, r_prim, compl / (m * qscale))
+
+
 def test_fused_warm_start(interp, monkeypatch):
     args = _rand_soft(4)
     sol0 = solve_qp_soft(*args)
     args2 = list(args)
     args2[1] = args[1] + 1e-3
     warm = solve_qp_soft(*args2, ws=sol0.state, ws_valid=jnp.asarray(True))
-    ref = _xla_solve(args2, monkeypatch)
     ref_warm = _xla_solve(args2, monkeypatch, ws=sol0.state,
                           ws_valid=jnp.asarray(True))
     assert int(warm.status) == 0
-    np.testing.assert_allclose(np.asarray(warm.z), np.asarray(ref.z),
-                               atol=2e-3)
+    # engine equivalence: the fused kernel reproduces the XLA twin's warm
+    # trajectory (same algorithm, same warm-point assembly).  NOTE: warm
+    # and cold solves legitimately land at DIFFERENT points of the f32
+    # tolerance ball (KKT <= 3e-5 allows ~1e-2 spread in z on this
+    # conditioning) — the old warm-vs-cold comparison over-asked.
+    np.testing.assert_allclose(np.asarray(warm.z), np.asarray(ref_warm.z),
+                               atol=2e-4)
     # same warm-start trajectory as the XLA twin (fp noise may add an iter)
     assert abs(int(warm.iters) - int(ref_warm.iters)) <= 2
+    # ... and 'converged' must survive an independent f64 KKT audit on the
+    # original data (both engines, warm and cold)
+    for sol in (warm, ref_warm, sol0):
+        assert _kkt_residual_f64(args2 if sol is not sol0 else args,
+                                 sol) < 5e-4
 
 
 def test_gate_rejects_f64_and_sharded():
