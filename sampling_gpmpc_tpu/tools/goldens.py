@@ -33,6 +33,10 @@ GOLDEN_CONFIGS = (
     "params_pendulum",
     "params_car",
     "params_car_residual",
+    # ns=500 one-step reachable-set workload (QP row-path stress: 1000
+    # state-box rows at H=1; ref: params/params_pendulum_samples.yaml:38,
+    # one-step planner src/DEMPC.py:82-112)
+    "params_pendulum_samples",
 )
 
 # pin tolerance: f64 closed loops on one platform are reproducible to
