@@ -36,6 +36,8 @@ import numpy as np
 import torch
 from scipy.optimize import LinearConstraint, minimize
 
+from sampling_gpmpc_tpu.ocp import sqp as sqp_mod
+
 torch.set_default_dtype(torch.float64)
 
 
@@ -590,6 +592,10 @@ def run_car_residual_true_dyn(params, spec, data, n_sqp_iter):
     X = np.tile(data.start, (H + 1, 1, 1))
     U = np.zeros((H, nu))
     iters = []
+    best_step = np.inf
+    stall_count = 0
+    mono_count = 0
+    alpha = 1.0
     for it in range(n_sqp_iter):
         Xs = X[:, 0]
         Ueff = U - (data.goal[None] - Xs[:H]) @ K.T \
@@ -604,12 +610,28 @@ def run_car_residual_true_dyn(params, spec, data, n_sqp_iter):
         sub = ocp.subproblem(X, U, A, B, val)
         sub["dx0"] = (x_curr - Xs[0])[None]
         dU, dX = solve_sparse_qp(1, H, nx, nu, **sub)
-        X_new = X + np.swapaxes(dX, 0, 1)
-        U_new = U + dU
-        x_diff = np.linalg.norm(X_new[:H] - X[:H]) / (
-            np.linalg.norm(X[:H]) + 1e-6)
-        u_diff = np.linalg.norm(U_new - U) / (np.linalg.norm(U) + 1e-6)
-        X, U = X_new, U_new
+        # the same stall-gated under-relaxation as ocp/sqp.py's
+        # consume_step (part of the solver spec; alpha=1 = pure RTI):
+        # damping halves the applied step after STALL_WINDOW consecutive
+        # iterations without a meaningful new raw-step-norm minimum (a
+        # limit cycle of any period), and doubles back toward 1 after
+        # RECOVER_WINDOW consecutive strict minima (the post-cycle creep)
+        x_diff = np.linalg.norm(dX[0, :H]) / (np.linalg.norm(X[:H]) + 1e-6)
+        u_diff = np.linalg.norm(dU) / (np.linalg.norm(U) + 1e-6)
+        sn = x_diff + u_diff
+        improved = sn < sqp_mod.STALL_SHRINK * best_step
+        stall_count = 0 if improved else stall_count + 1
+        mono_count = mono_count + 1 if sn < best_step else 0
+        if stall_count >= sqp_mod.STALL_WINDOW and sn >= best_step:
+            alpha = max(alpha * 0.5, sqp_mod.MIN_ALPHA)
+            stall_count = 0
+            mono_count = 0
+        elif mono_count >= sqp_mod.RECOVER_WINDOW and alpha < 1.0:
+            alpha = min(alpha * 2.0, 1.0)
+            mono_count = 0
+        best_step = min(best_step, sn)
+        X = X + alpha * np.swapaxes(dX, 0, 1)
+        U = U + alpha * dU
         iters.append((x_diff, u_diff))
         if x_diff < spec.tol_nlp and u_diff < spec.tol_nlp:
             break

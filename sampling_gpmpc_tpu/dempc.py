@@ -251,6 +251,7 @@ class DEMPC:
             "final_state": np.asarray(x_curr),
             "sqp_iters": int(st.it),
             "sqp_status": int(st.status),
+            "sqp_done": bool(st.done),
             "qp_iters": qp_iters,
             "sqp_status_traj": statuses,
             "qp_gap_traj": gaps,

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from sampling_gpmpc_tpu.config import ProblemSpec
 from sampling_gpmpc_tpu.ocp.spec import OCPData
+from sampling_gpmpc_tpu.parallel.collectives import make_reducers
 
 
 class Rows(NamedTuple):
@@ -52,7 +53,7 @@ def row_counts(spec: ProblemSpec):
 
 
 def build_cost(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar,
-               axis_name=None):
+               axis_name=None, ordered: bool = False):
     """Condensed Hessian/gradient of the (expected) tracking cost + LM.
 
     Per stage k and sample i the x-block Hessian is 2 w_i Q_k + lm I and the
@@ -81,8 +82,9 @@ def build_cost(spec: ProblemSpec, ocp: OCPData, T, Gamma, Xbar, Ubar,
     H_U = jnp.einsum("ikau,ikab,ikbv->uv", Gamma, Hx, Gamma)
     g_U = jnp.einsum("ikau,ika->u", Gamma, grad_x)
     if axis_name is not None:
-        H_U = jax.lax.psum(H_U, axis_name)
-        g_U = jax.lax.psum(g_U, axis_name)
+        psum, _, _ = make_reducers(axis_name, ordered)
+        H_U = psum(H_U)
+        g_U = psum(g_U)
 
     # input blocks: Hu = 2 Qu + lm I, grad_u = 2 Qu ū (replicated, added once)
     Hu = 2.0 * ocp.Qu + ocp.lm * jnp.eye(nu, dtype=Qk.dtype)

@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sampling_gpmpc_tpu.parallel.collectives import make_reducers
 from sampling_gpmpc_tpu.setup import full_precision
 
 BIG = 1e8
@@ -91,7 +92,7 @@ class QPSolution(NamedTuple):
 
 @full_precision
 def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
-             axis_name=None) -> QPSolution:
+             axis_name=None, ordered: bool = False) -> QPSolution:
     """Solve min 0.5 z'Pz + q'z s.t. Cz <= d.
 
     With ``axis_name`` set (inside shard_map), the constraint rows (C, d)
@@ -112,15 +113,10 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     reg = 1e-13 if dtype == jnp.float64 else 1e-7
     eye = jnp.eye(nz, dtype=dtype)
 
+    psum, pmin, pmax = make_reducers(axis_name, ordered)
     if axis_name is None:
-        psum = lambda x: x
-        pmin = lambda x: x
-        pmax = lambda x: x
         m = d.shape[0]
     else:
-        psum = lambda x: jax.lax.psum(x, axis_name)
-        pmin = lambda x: jax.lax.pmin(x, axis_name)
-        pmax = lambda x: jax.lax.pmax(x, axis_name)
         m = d.shape[0] * jax.lax.psum(1, axis_name)
 
     z0 = jnp.zeros(nz, dtype)
@@ -214,7 +210,7 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
 def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
                   tol: float = None, max_iter: int = 150,
                   axis_name=None, ws: tuple = None,
-                  ws_valid=None) -> QPSolution:
+                  ws_valid=None, ordered: bool = False) -> QPSolution:
     """Structured PDIP with analytic slack elimination (HPIPM-style).
 
     Solves   min_u  0.5 u'Hu + g'u + sum_j [zl sl + 0.5 Zl sl^2
@@ -264,15 +260,10 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     Zl = Zl * scale_s * scale_s
     Zu = Zu * scale_s * scale_s
 
+    psum, pmin, pmax = make_reducers(axis_name, ordered)
     if axis_name is None:
-        psum = lambda x: x
-        pmin = lambda x: x
-        pmax = lambda x: x
         m_total = d_h.shape[0] + 4 * lo_s.shape[0]
     else:
-        psum = lambda x: jax.lax.psum(x, axis_name)
-        pmin = lambda x: jax.lax.pmin(x, axis_name)
-        pmax = lambda x: jax.lax.pmax(x, axis_name)
         m_total = (d_h.shape[0] + 4 * lo_s.shape[0]) * jax.lax.psum(
             1, axis_name)
 

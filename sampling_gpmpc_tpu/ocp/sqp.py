@@ -33,6 +33,7 @@ from sampling_gpmpc_tpu.ocp.assemble import (build_cost, build_hard_rows,
 from sampling_gpmpc_tpu.ocp.condense import condense_parallel as condense
 from sampling_gpmpc_tpu.ocp.qp import boxes_to_rows, solve_qp_soft
 from sampling_gpmpc_tpu.ocp.spec import OCPData
+from sampling_gpmpc_tpu.parallel.collectives import make_reducers
 
 
 class SolveState(NamedTuple):
@@ -48,6 +49,98 @@ class SolveState(NamedTuple):
     qp_valid: jnp.ndarray  # bool: qp_ws holds a usable previous solution
     qp_iters: jnp.ndarray  # cumulative PDIP iterations (diagnostics)
     qp_gap: jnp.ndarray    # last QP's best KKT residual (diagnostics)
+    best_step: jnp.ndarray  # scalar: min raw relative step seen this solve
+    stall_count: jnp.ndarray  # int32: consecutive iters with no new minimum
+    mono_count: jnp.ndarray  # int32: consecutive iters WITH a new minimum
+    alpha: jnp.ndarray      # step under-relaxation factor (1.0 = pure RTI)
+
+
+# consecutive iterations without a meaningful new raw-step-norm minimum
+# before under-relaxation engages.  A converging SQP makes a new minimum
+# every few iterations; a limit cycle of ANY period (car_residual's is
+# period-4 at stock LM, so direction-reversal probes miss it) never does.
+# 6 exceeds the max_sqp_iter of every golden closed-loop SEMPC config
+# except params_car_residual (150), so those goldens keep exact full-step
+# reference semantics bitwise.
+STALL_WINDOW = 6
+# a new minimum must shrink by 5% to count as progress (plateau = stall)
+STALL_SHRINK = 0.95
+# consecutive strict new minima before alpha recovers x2 (cap 1.0): once
+# the cycle is broken the iteration enters a pure creep phase (cos between
+# successive raw steps = +1.000 measured) whose rate is set by the LM
+# damping, not alpha — recovering to full steps doubles the creep rate; if
+# the cycle re-fires, the stall gate re-engages.  In the creep phase every
+# iteration makes a new minimum; in a cycle almost none do.
+RECOVER_WINDOW = 4
+MIN_ALPHA = 1.0 / 16.0
+
+
+def consume_step(spec: ProblemSpec, X_it, U_it, X_cand, U_cand, ok,
+                 best_step, stall_count, mono_count, alpha, axis_name=None,
+                 ordered: bool = False):
+    """Shared post-QP step consumption for ``solve`` and ``solve_recorded``.
+
+    One function so the driving loop and its host-stepped debug twin cannot
+    drift apart.  Three pieces:
+
+    * failed-QP revert — a failed QP's step is NOT consumed
+      (ref: src/solver.py:146-151 breaks before fetching the iterate);
+    * stall-gated under-relaxation: pure SQP-RTI (full steps, the
+      reference's fixed-step globalization) can enter a limit cycle
+      between active sets (measured: params_car_residual at stock LM=30
+      settles into a period-4 cycle with x_diff 6e-5..2.1e-4 > tol,
+      flip-flopping the late-stage acceleration/v-bound active set).
+      When the raw relative step norm makes no new minimum for
+      STALL_WINDOW consecutive iterations, the applied step is halved
+      (floor MIN_ALPHA) and the window restarts; after RECOVER_WINDOW
+      consecutive strict new minima (the post-cycle creep phase) alpha
+      doubles back toward 1.  At alpha=1 the update is bit-identical to
+      the reference semantics, so the rule only engages where fixed-step
+      RTI does not converge anyway — and a damped fixed point satisfies
+      d(x*)=0, the same first-order conditions;
+    * the relative-change convergence predicate on the RAW candidate step
+      (ref: src/solver.py:66-81) — measuring the raw step keeps the test
+      meaningful under damping (an alpha-scaled small movement of a large
+      raw step must not read as convergence).
+
+    Returns (X, U, x_diff, u_diff, done, best_step, stall_count,
+    mono_count, alpha).
+    """
+    dX = X_cand - X_it
+    dU = U_cand - U_it
+
+    psum, _, _ = make_reducers(axis_name, ordered)
+
+    def _norm(a):
+        return jnp.sqrt(psum(jnp.sum(a * a)))
+
+    x_diff = _norm(dX[:spec.H]) / (_norm(X_it[:spec.H]) + 1e-6)
+    u_diff = jnp.linalg.norm(dU) / (jnp.linalg.norm(U_it) + 1e-6)
+    sn = x_diff + u_diff
+    improved = sn < STALL_SHRINK * best_step
+    count = jnp.where(improved, 0, stall_count + 1)
+    # a strict-but-small new minimum is the slow-creep phase, not a cycle:
+    # it blocks engagement (damping a creeping step only slows the creep)
+    engage = (count >= STALL_WINDOW) & (sn >= best_step)
+    mono = jnp.where(sn < best_step, mono_count + 1, 0)
+    recover = (~engage) & (mono >= RECOVER_WINDOW) & (alpha < 1.0)
+    alpha_new = jnp.where(
+        engage, jnp.maximum(alpha * 0.5, MIN_ALPHA),
+        jnp.where(recover, jnp.minimum(alpha * 2.0, 1.0), alpha))
+    count = jnp.where(engage, 0, count)
+    mono = jnp.where(engage | recover, 0, mono)
+    # at alpha=1 take the candidate BITWISE (X_it + 1.0*dX differs from
+    # X_cand in the last ulp, enough to decohere the chaotic golden loops)
+    full = alpha_new == 1.0
+    X = jnp.where(ok, jnp.where(full, X_cand, X_it + alpha_new * dX), X_it)
+    U = jnp.where(ok, jnp.where(full, U_cand, U_it + alpha_new * dU), U_it)
+    best_step = jnp.where(ok, jnp.minimum(best_step, sn), best_step)
+    stall_count = jnp.where(ok, count, stall_count)
+    mono_count = jnp.where(ok, mono, mono_count)
+    alpha = jnp.where(ok, alpha_new, alpha)
+    done = (x_diff < spec.tol_nlp) & (u_diff < spec.tol_nlp)
+    return (X, U, x_diff, u_diff, done, best_step, stall_count,
+            mono_count, alpha)
 
 
 def init_qp_ws(spec: ProblemSpec, dtype):
@@ -86,7 +179,8 @@ def _linearization_inputs(spec: ProblemSpec, ocp: OCPData, X, U):
 def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                   ocp: OCPData, st_curr, X, U, gp: GPState, eps,
                   axis_name=None, qp_ws=None, qp_valid=None,
-                  return_debug: bool = False, hall_empty: bool = False):
+                  return_debug: bool = False, hall_empty: bool = False,
+                  ordered: bool = False):
     """One full SQP-RTI iteration; returns updated (X, U, gp, status).
 
     With ``axis_name`` this body runs inside shard_map over the sample axis:
@@ -110,13 +204,14 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     dx0 = jnp.broadcast_to(st_curr[None], (ns, nx)) - X[0]
     T, Gamma = condense(A, B, r, dx0)
 
-    H_U, g_U = build_cost(spec, ocp, T, Gamma, X, U, axis_name=axis_name)
+    H_U, g_U = build_cost(spec, ocp, T, Gamma, X, U, axis_name=axis_name,
+                          ordered=ordered)
     hard = build_hard_rows(spec, ocp, T, Gamma, X, U)
     soft, (zl, zu, Zl, Zu) = build_soft_rows(spec, ocp, T, Gamma, X)
     C_h, d_h = boxes_to_rows(hard.G, hard.lo, hard.hi)
     sol = solve_qp_soft(H_U, g_U, C_h, d_h, soft.G, soft.lo, soft.hi,
                         zl, zu, Zl, Zu, axis_name=axis_name,
-                        ws=qp_ws, ws_valid=qp_valid)
+                        ws=qp_ws, ws_valid=qp_valid, ordered=ordered)
 
     dU = sol.z[:H * nu]
     dX = T + jnp.einsum("ikau,u->ika", Gamma, dU)           # (ns, H+1, nx)
@@ -136,7 +231,7 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
 
 def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
           st_curr, X0, U0, gp0: GPState, eps_iters, axis_name=None,
-          qp_ws=None, qp_valid=None):
+          qp_ws=None, qp_valid=None, ordered: bool = False):
     """Full SQP solve for one MPC step.
 
     Args:
@@ -156,37 +251,31 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
 
     def body(s: SolveState, hall_empty: bool = False):
         eps = jax.lax.dynamic_index_in_dim(eps_iters, s.it, keepdims=False)
-        X, U, gp, sol = sqp_iteration(
+        X_cand, U_cand, gp, sol = sqp_iteration(
             spec, env, hyp, ocp, st_curr, s.X, s.U, s.gp, eps,
             axis_name=axis_name, qp_ws=s.qp_ws, qp_valid=s.qp_valid,
-            hall_empty=hall_empty)
+            hall_empty=hall_empty, ordered=ordered)
         status = sol.status
         # a FAILED QP's step must not be consumed (ref: solver.py:146-151
         # breaks before fetching the failed solve's iterate): keep the
         # entering iterate and drop the garbage warm-start state.  The GP
         # hallucination append stays — it was drawn at the entering
         # iterate, before the QP (ref: agent sampling precedes the solve).
+        # Step consumption, under-relaxation and the convergence predicate
+        # (ref: solver.py:57-81) live in consume_step, shared with the
+        # host-stepped debug twin.
         ok = status == 0
-        X = jnp.where(ok, X, s.X)
-        U = jnp.where(ok, U, s.U)
-        # relative-change convergence on the *next* iteration's entry check
-        # (ref: solver.py:57-81 compares consecutive post-QP iterates);
-        # under sharding the Frobenius norms reduce over all shards
-        def _norm(a):
-            sq = jnp.sum(a * a)
-            if axis_name is not None:
-                sq = jax.lax.psum(sq, axis_name)
-            return jnp.sqrt(sq)
-
-        x_diff = _norm(X[:spec.H] - s.X[:spec.H]) / (
-            _norm(s.X[:spec.H]) + 1e-6)
-        u_diff = jnp.linalg.norm(U - s.U) / (jnp.linalg.norm(s.U) + 1e-6)
-        done = (x_diff < spec.tol_nlp) & (u_diff < spec.tol_nlp)
+        (X, U, x_diff, u_diff, done, best_step, stall_count, mono_count,
+         alpha) = consume_step(spec, s.X, s.U, X_cand, U_cand, ok,
+                               s.best_step, s.stall_count, s.mono_count,
+                               s.alpha, axis_name=axis_name, ordered=ordered)
         return SolveState(X=X, U=U, X_prev=s.X, U_prev=s.U, gp=gp,
                           it=s.it + 1, status=status, done=done,
                           qp_ws=sol.state, qp_valid=ok,
                           qp_iters=s.qp_iters + sol.iters,
-                          qp_gap=sol.gap)
+                          qp_gap=sol.gap, best_step=best_step,
+                          stall_count=stall_count, mono_count=mono_count,
+                          alpha=alpha)
 
     if qp_ws is None:
         qp_ws = init_qp_ws(spec, X0.dtype)
@@ -195,7 +284,11 @@ def solve(spec: ProblemSpec, env: Env, hyp: GPHyperArrays, ocp: OCPData,
         X=X0, U=U0, X_prev=X0, U_prev=U0, gp=gp0,
         it=jnp.asarray(0), status=jnp.asarray(0), done=jnp.asarray(False),
         qp_ws=qp_ws, qp_valid=qp_valid, qp_iters=jnp.asarray(0),
-        qp_gap=jnp.asarray(jnp.inf, X0.dtype))
+        qp_gap=jnp.asarray(jnp.inf, X0.dtype),
+        best_step=jnp.asarray(jnp.inf, X0.dtype),
+        stall_count=jnp.asarray(0, jnp.int32),
+        mono_count=jnp.asarray(0, jnp.int32),
+        alpha=jnp.ones((), X0.dtype))
     # iteration 0 peeled out of the loop: its hallucination buffer is
     # empty BY CONSTRUCTION (reset above), so it runs the statically
     # specialized GP stage; iterations >= 1 run the general body
@@ -244,6 +337,10 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     status = jnp.asarray(0)
     qp_iters = 0
     x_diff = u_diff = float("inf")
+    best_step = jnp.asarray(jnp.inf, X0.dtype)
+    stall_count = jnp.asarray(0, jnp.int32)
+    mono_count = jnp.asarray(0, jnp.int32)
+    alpha = jnp.ones((), X0.dtype)
     # mirror agent.sample_dynamics's EXACT predicate: probing posterior
     # moments is skipped only when no live GP sample is drawn at all
     oracle_only = (
@@ -259,19 +356,18 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
             mean = std = None
         else:
             mean, std = probe_fn(gp, Xt)
-        X_new, U_new, gp, sol, dbg = iter_fn(
+        X_cand, U_cand, gp, sol, dbg = iter_fn(
             st_curr, X, U, gp, eps_iters[it], qp_ws, qp_valid, it == 0)
         status = sol.status
         qp_iters += int(sol.iters)
-        if int(status) != 0:
-            # failed QP: do not consume its step or warm-start state
-            # (mirrors solve()'s in-graph revert)
-            X_new, U_new = X, U
         qp_ws, qp_valid = sol.state, jnp.asarray(int(status) == 0)
-        x_diff = float(jnp.linalg.norm(X_new[:spec.H] - X[:spec.H])
-                       / (jnp.linalg.norm(X[:spec.H]) + 1e-6))
-        u_diff = float(jnp.linalg.norm(U_new - U)
-                       / (jnp.linalg.norm(U) + 1e-6))
+        # identical step consumption to solve() (shared helper: failed-QP
+        # revert, under-relaxation, convergence predicate)
+        (X_new, U_new, x_diff, u_diff, _, best_step, stall_count,
+         mono_count, alpha) = consume_step(
+            spec, X, U, X_cand, U_cand, status == 0,
+            best_step, stall_count, mono_count, alpha)
+        x_diff, u_diff = float(x_diff), float(u_diff)
         records.append({
             "X": X_new, "U": U_new, "dg": dbg["dg"],
             "mean": mean, "std": std,
@@ -293,5 +389,7 @@ def solve_recorded(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                     done=jnp.asarray(x_diff < spec.tol_nlp
                                      and u_diff < spec.tol_nlp),
                     qp_ws=qp_ws, qp_valid=qp_valid,
-                    qp_iters=jnp.asarray(qp_iters), qp_gap=sol.gap)
+                    qp_iters=jnp.asarray(qp_iters), qp_gap=sol.gap,
+                    best_step=best_step, stall_count=stall_count,
+                    mono_count=mono_count, alpha=alpha)
     return st, records

@@ -31,13 +31,17 @@ from sampling_gpmpc_tpu.ocp import sqp
 
 
 def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
-                       axis: str = "ns"):
+                       axis: str = "ns", ordered: bool = False):
     """Build a jitted, ns-sharded version of ocp.sqp.solve.
 
     The per-shard body sees a spec with the *local* sample count; arrays are
     partitioned as: X on its sample axis, GP hallucination buffers on their
     leading sample axis, epistemic draws on theirs; everything else
     replicated.  Outputs mirror the input partitioning.
+
+    ``ordered``: use order-defined cross-shard sums (determinism mode,
+    parallel/collectives.py) — bit-reproducible across collective
+    implementations and exactly matched by :func:`make_blocked_solve`.
     """
     n_dev = mesh.shape[axis]
     assert spec.ns % n_dev == 0, (
@@ -53,14 +57,15 @@ def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
     state_spec = sqp.SolveState(
         X=P(None, axis), U=P(), X_prev=P(None, axis), U_prev=P(),
         gp=gp_spec, it=P(), status=P(), done=P(),
-        qp_ws=ws_spec, qp_valid=P(), qp_iters=P(), qp_gap=P())
+        qp_ws=ws_spec, qp_valid=P(), qp_iters=P(), qp_gap=P(),
+        best_step=P(), stall_count=P(), mono_count=P(), alpha=P())
 
     # OCPData: only the per-sample cost weights are sharded
     ocp_specs = type(ocp)(*([P()] * len(ocp)))._replace(w_cost=P(axis))
 
     def body(st_curr, X0, U0, gp0, eps_iters, ocp_l):
         return sqp.solve(local_spec, env, hyp, ocp_l, st_curr, X0, U0, gp0,
-                         eps_iters, axis_name=axis)
+                         eps_iters, axis_name=axis, ordered=ordered)
 
     kwargs = dict(
         mesh=mesh,
@@ -74,6 +79,76 @@ def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
     jitted = jax.jit(mapped)
     return lambda st_curr, X0, U0, gp0, eps_iters: jitted(
         st_curr, X0, U0, gp0, eps_iters, ocp)
+
+
+def make_blocked_solve(spec: ProblemSpec, env, hyp, ocp, n_blocks: int,
+                       axis: str = "ns"):
+    """Single-device simulation of the n-block ORDERED sharded solve.
+
+    ``jax.vmap`` over the block axis with the same ``axis_name`` executes
+    the identical per-block program (collectives become batch-axis
+    reductions; ordered sums run the same all_gather + sequential
+    reduction).  Against ``make_sharded_solve(..., ordered=True)`` on an
+    n-device mesh this is the same floating-point computation — the
+    same-reduction-order single-device reference that makes a tight
+    multi-iteration sharded-vs-single-device equivalence check possible
+    (plain psum's device order is not reproducible on one device, and
+    ulp-level order noise is chaotically amplified by the sampled-GP + QP
+    chain).
+
+    Accepts/returns the same global-shape arrays as the sharded solve.
+    Per-block copies of replicated quantities (U, status, ...) are reduced
+    by taking block 0; they are identical across blocks by construction
+    (every block sees the same ordered-collective results), which the
+    dryrun asserts bitwise.
+    """
+    import jax.numpy as jnp
+
+    n = n_blocks
+    assert spec.ns % n == 0
+    local = spec.ns // n
+    local_spec = dataclasses.replace(spec, ns=local)
+
+    def body(st_curr, X0, U0, gp0, eps_iters, ocp_l):
+        return sqp.solve(local_spec, env, hyp, ocp_l, st_curr, X0, U0, gp0,
+                         eps_iters, axis_name=axis, ordered=True)
+
+    # input block-axis positions mirror make_sharded_solve's PartitionSpecs;
+    # all outputs come back with a leading block axis (out_axes=0) — vmap
+    # cannot know the replicated ones are block-invariant
+    gp_ax = GPState(real_Z=None, real_Y=None,
+                    real_fact={"L": None, "w": None, "mask": None},
+                    hall_Z=0, hall_Y=0, hall_n=None)
+    ocp_ax = type(ocp)(*([None] * len(ocp)))._replace(w_cost=0)
+    vbody = jax.vmap(body, in_axes=(None, 1, None, gp_ax, 1, ocp_ax),
+                     out_axes=0, axis_name=axis)
+
+    def blocked(st_curr, X0, U0, gp0, eps_iters):
+        # split the global sample axis into (n, local) blocks where sharded
+        def split(a, ax):
+            s = a.shape
+            return a.reshape(s[:ax] + (n, local) + s[ax + 1:])
+        gp_b = gp0._replace(hall_Z=split(gp0.hall_Z, 0),
+                            hall_Y=split(gp0.hall_Y, 0))
+        st = vbody(st_curr, split(X0, 1), U0, gp_b, split(eps_iters, 1),
+                   ocp._replace(w_cost=split(ocp.w_cost, 0)))
+
+        def merge_x(a):      # (n, H+1, local, nx) -> (H+1, ns, nx)
+            m = jnp.moveaxis(a, 0, 1)
+            return m.reshape(m.shape[:1] + (n * local,) + m.shape[3:])
+
+        def merge0(a):       # (n, per_block, ...) -> (n*per_block, ...)
+            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+        first = lambda a: a[0]
+        rep = jax.tree_util.tree_map(first, st)
+        return rep._replace(
+            X=merge_x(st.X), X_prev=merge_x(st.X_prev),
+            gp=rep.gp._replace(hall_Z=merge0(st.gp.hall_Z),
+                               hall_Y=merge0(st.gp.hall_Y)),
+            qp_ws=(st.qp_ws[0][0],) + tuple(merge0(w) for w in st.qp_ws[1:]))
+
+    return jax.jit(blocked)
 
 
 def make_sharded_rollout(spec: ProblemSpec, env, hyp, mesh: Mesh,

@@ -78,6 +78,32 @@ def test_sharded_two_vs_eight_devices(problem):
                                rtol=1e-6, atol=1e-8)
 
 
+def test_ordered_sharded_matches_blocked_reference(problem):
+    """Determinism mode (parallel/collectives.py): the ordered-collectives
+    sharded solve must match the single-device blocked (vmap) simulation
+    over MULTIPLE SQP iterations at a tight tolerance — the
+    same-reduction-order comparison that plain psum cannot support (its
+    device-order ulp noise is chaotically amplified per iteration)."""
+    import dataclasses as dc
+
+    from sampling_gpmpc_tpu.parallel.sharded import make_blocked_solve
+
+    params, spec, data, env = problem
+    spec3 = dc.replace(spec, max_sqp_iter=3, tol_nlp=0.0)
+    dtype, ocp, hyp, gp, X, U, eps, st = _setup(spec3, data, env)
+
+    out = make_sharded_solve(spec3, env, hyp, ocp, sample_mesh(8),
+                             ordered=True)(st, X, U, gp, eps)
+    ref = make_blocked_solve(spec3, env, hyp, ocp, 8)(st, X, U, gp, eps)
+    assert int(out.it) == 3 and int(ref.it) == 3
+    np.testing.assert_allclose(np.asarray(out.U), np.asarray(ref.U),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                               atol=1e-6)
+    hall = np.abs(np.asarray(out.gp.hall_Y) - np.asarray(ref.gp.hall_Y))
+    assert np.nanmax(hall) < 1e-6
+
+
 def test_sharded_rollout(problem):
     """ns-sharded forward-sampling reachability: correct shapes, finite,
     realizations diverge, deterministic per key."""

@@ -46,12 +46,18 @@ def _dyn_residual(env, spec, data, X, U):
 
 
 def test_car_residual_one_step(car_problem):
-    """Stock config (LM=30): SQP-RTI limit-cycles with small amplitude at the
-    active phi bounds — check feasibility and lane-change behavior."""
+    """Stock config (LM=30): with the stall-gated under-relaxation
+    (ocp/sqp.py::consume_step) the 150-iteration flagship solve converges
+    below tol_nlp=1e-4 instead of limit-cycling at ~3e-3 — check
+    convergence, feasibility and lane-change behavior."""
     params, spec, data = car_problem
     env, out = _run(params, spec, data)
 
     assert out["sqp_status"] == 0
+    # converged below tol_nlp WITHIN the iteration budget (pure full-step
+    # RTI limit-cycles here; the stall-gated damping breaks the cycle)
+    assert out["sqp_done"], "SQP did not converge below tol_nlp"
+    assert out["sqp_iters"] < spec.max_sqp_iter
     X = out["state_traj"][0]           # (H+1, ns, nx)
     U = out["input_traj"][0]           # (H, nu)
     H = spec.H
@@ -68,8 +74,9 @@ def test_car_residual_one_step(car_problem):
     # lane-change tracking: y reaches the 11.0 plateau and returns
     y = X[:, 0, 1]
     assert y.max() > 10.0 and abs(y[-1] - 1.95) < 2.0
-    # linearization consistency bounded by the RTI cycle amplitude
-    assert _dyn_residual(env, spec, data, X, U) < 0.5
+    # linearization consistency at the tol-converged iterate: the fixed-
+    # point defect is bounded by the final relative step (~1e-4 · ||X||)
+    assert _dyn_residual(env, spec, data, X, U) < 0.02
 
 
 def test_car_residual_fixed_point_with_stronger_damping(car_problem):
