@@ -91,7 +91,8 @@ def _propagate(spec: ProblemSpec, env: Env, x, u, dg):
 @full_precision
 def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                            gp: GPState, x0, U, key,
-                           use_feedback: Optional[dict] = None):
+                           use_feedback: Optional[dict] = None,
+                           eps=None):
     """Roll ns sampled dynamics under inputs U with iterative conditioning.
 
     Args:
@@ -103,6 +104,11 @@ def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         use_feedback: optional dict(K=..., x_eq=...) applying the ancillary
             feedback u_eff = U[t] - K(x_eq - x) per sample
             (ref: simulate_forward_sampling_car.py:122).
+        eps: optional pre-drawn epistemic base draws (T, ns, g_ny, 1, Ty)
+            replacing the per-step truncated-normal draws — the loadable
+            epistemic vectors of the reference
+            (ref: simulate_forward_sampling_car.py:78-80); also what makes
+            dtype-envelope comparisons with SHARED draws possible.
     Returns:
         X_traj: (T+1, ns, nx) sampled trajectories; final GPState.
 
@@ -140,7 +146,10 @@ def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
 
     def step(carry, inp):
         x, gp, uf = carry
-        u_t, key_t = inp
+        if eps is None:
+            u_t, key_t = inp
+        else:
+            u_t, key_t, eps_t = inp
         u = jnp.broadcast_to(u_t[None], (spec.ns, spec.nu))
         if use_feedback is not None:
             K = jnp.asarray(use_feedback["K"], dtype)
@@ -148,10 +157,11 @@ def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
             u = u - (x_eq[None] - x) @ K.T
         xu = jnp.concatenate([x, u], axis=-1)
         Xt = xu[:, jnp.asarray(spec.g_idx_inputs)][:, None, :]  # (ns, 1, D)
-        beta = spec.gp.beta
-        eps = jax.random.truncated_normal(
-            key_t, -beta, beta, (spec.ns, spec.g_ny, 1, Ty), dtype)
-        dg = _sample_at_points_uf(spec, hyp, gp, uf, Xt, eps)
+        if eps is None:
+            beta = spec.gp.beta
+            eps_t = jax.random.truncated_normal(
+                key_t, -beta, beta, (spec.ns, spec.g_ny, 1, Ty), dtype)
+        dg = _sample_at_points_uf(spec, hyp, gp, uf, Xt, eps_t)
         x_next = _propagate(spec, env, x, u, dg)
         # append value-only observations (gradients NaN-masked, ref:
         # src/agent.py:402) to each realization's conditioning set
@@ -166,7 +176,8 @@ def forward_sample_rollout(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         uf = append_factor(uf, gp, newZ, newY, pos)
         return (x_next, gp, uf), x_next
 
-    (x_fin, gp, _), X_tail = jax.lax.scan(step, (x_init, gp, uf0), (U, keys))
+    xs = (U, keys) if eps is None else (U, keys, jnp.asarray(eps, dtype))
+    (x_fin, gp, _), X_tail = jax.lax.scan(step, (x_init, gp, uf0), xs)
     X_traj = jnp.concatenate([x_init[None], X_tail], axis=0)
     return X_traj, gp
 
