@@ -93,7 +93,7 @@ class DroneModel:
         mesh = np.meshgrid(*axes, indexing="ij")
         XU = np.stack([m.reshape(-1) for m in mesh], axis=1)
 
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             Y = np.array(jax.jit(jax.vmap(
                 lambda z: self.discrete_dyn(z[:self.nx], z[self.nx:])))(
                 jnp.asarray(XU)))

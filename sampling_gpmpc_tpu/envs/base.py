@@ -102,8 +102,10 @@ def grid_training_data(spec: ProblemSpec, axes, g_prior) -> Tuple[np.ndarray, np
     mesh = np.meshgrid(*axes, indexing="ij")
     X = np.stack([m.reshape(-1) for m in mesh], axis=1)
     # evaluate on host CPU in one jitted call: tiny eager ops on a remote
-    # accelerator would pay a round-trip compile each
-    with jax.default_device(jax.devices("cpu")[0]):
+    # accelerator would pay a round-trip compile each.  Must be the LOCAL
+    # cpu device: under jax.distributed, jax.devices("cpu")[0] is global
+    # device 0, which is non-addressable from processes > 0
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         Y = np.array(jax.jit(jax.vmap(g_prior))(jnp.asarray(X)))  # (N,g_ny,1+D)
     Y = np.transpose(Y, (1, 0, 2))                        # (g_ny, N, 1+D)
     if not spec.train_data_has_derivatives:
