@@ -242,6 +242,21 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     if tol is None:
         tol = 1e-8 if dtype == jnp.float64 else 3e-5
     reg = 1e-13 if dtype == jnp.float64 else 1e-7
+
+    from sampling_gpmpc_tpu.ops import pallas_ipm
+    if axis_name is None and pallas_ipm.fused_ok(
+            nU, d_h.shape[0], lo_s.shape[0], dtype):
+        # fully fused TPU path: equilibration, warm/cold start assembly,
+        # acceptance AND the Mehrotra loop all run in Pallas kernels —
+        # same recipes as the XLA body below (equivalence-tested); only
+        # padding and the final un-scaling remain XLA ops
+        best, best_res, it, scale_h, scale_s = pallas_ipm.run_full(
+            H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
+            ws, ws_valid, tol, reg, max_iter,
+            stall_iters=STALL_ITERS, stall_rtol=STALL_RTOL,
+            mu_grind=MU_GRIND, ws_band=WS_BAND)
+        return _finish(best, best_res, it, scale_h, scale_s, tol, dtype)
+
     eye = jnp.eye(nU, dtype=dtype)
 
     # row equilibration: condensed rows span several orders of magnitude
@@ -523,21 +538,15 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         _, _, _, it, res, _ = carry
         return (it < max_iter) & (res > tol)
 
-    from sampling_gpmpc_tpu.ops import pallas_ipm
-    if axis_name is None and pallas_ipm.fused_ok(
-            nU, d_h.shape[0], m_s, dtype):
-        # single fused TPU kernel for the whole Mehrotra loop — same
-        # algorithm, none of the ~30x per-iteration dispatch cost
-        best, best_res, it = pallas_ipm.run_mehrotra(
-            H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu, st0,
-            qscale, tol, reg, max_iter,
-            stall_iters=STALL_ITERS, stall_rtol=STALL_RTOL,
-            mu_grind=MU_GRIND)
-    else:
-        _, best, best_res, it, _, _ = jax.lax.while_loop(
-            cond, body, (st0, st0, jnp.asarray(jnp.inf, dtype),
-                         jnp.asarray(0), jnp.asarray(jnp.inf, dtype),
-                         jnp.asarray(0)))
+    _, best, best_res, it, _, _ = jax.lax.while_loop(
+        cond, body, (st0, st0, jnp.asarray(jnp.inf, dtype),
+                     jnp.asarray(0), jnp.asarray(jnp.inf, dtype),
+                     jnp.asarray(0)))
+    return _finish(best, best_res, it, scale_h, scale_s, tol, dtype)
+
+
+def _finish(best, best_res, it, scale_h, scale_s, tol, dtype):
+    """Status + un-equilibration tail shared by the XLA and fused paths."""
     status = jnp.where(best_res <= jnp.asarray(tol, dtype) * STATUS_RTOL,
                        0, 4)
     # undo the row equilibration so the carried state is scale-independent

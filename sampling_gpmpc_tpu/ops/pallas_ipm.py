@@ -36,8 +36,13 @@ Layout choices (TPU tiling is (8 sublanes, 128 lanes) for f32):
   are masked, making pads exactly invisible to complementarity sums,
   residual maxima and step-length ratios.
 
-Equilibration, warm-start assembly, and un-scaling remain in XLA
-(``ocp/qp.py``) — one-time work; only the loop is fused.  The XLA
+A second ``prepare`` kernel fuses everything AROUND the loop too: row
+equilibration, the central-path cold start, the duals-only warm-start
+assembly and its two-KKT acceptance test (ocp/qp.py's pre-loop block).
+Measured on the bench shape, that pre-loop was ~0.45 ms of XLA dispatch
+(~60 small row ops) against ~0.6 ms for the whole 32-iteration fused
+loop — fusing it matters as much as fusing the loop did.  Only padding
+(host-side layout) and the final un-scaling stay in XLA.  The XLA
 while_loop stays as the reference implementation for CPU / f64 /
 sharded (``axis_name``) / oversized problems, and the two paths are
 equivalence-tested (tests/test_pallas_ipm.py).
@@ -399,15 +404,166 @@ def _kernel(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qs,
     bsince[0, 0] = since_f
 
 
-def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
-                 st0, qscale, tol: float, reg: float, max_iter: int,
-                 stall_iters: int = 10, stall_rtol: float = 0.01,
-                 mu_grind: float = 1e-6):
-    """Run the fused IPM loop; mirrors the XLA while_loop in
-    ``ocp.qp.solve_qp_soft`` given the SAME (already equilibrated)
-    problem data and initial state.
+def _prepare_kernel(Hp, gpr, Gthr, dhr, mh, Gtsr, sr, uw, lhw, sw, fl,
+                    # outputs
+                    Gtho, Gtso, dho, sdo, u0o, h0o, s0o, qso, scho, scso,
+                    *, m_total: int, ws_floor: float, ws_cap: float):
+    """Everything solve_qp_soft does BEFORE the Mehrotra loop, fused.
 
-    Returns ``(best_state_11tuple, best_res, iters)``.
+    Transliterates ocp/qp.py's pre-loop block (row equilibration, the
+    central-path cold start at the dual scale, the duals-only warm-start
+    assembly with the staleness-scaled complementarity band, and the
+    warm-vs-cold KKT acceptance) — the two recipes must change together.
+    Raw rows come in unpadded-value/padded-shape; every derived quantity
+    is mask-forced to the loop kernel's padding conventions (hard pads:
+    d=1, slack=1, dual=0; soft pads: lo=-1, hi=1, z=0, Z=1, slacks=1,
+    duals=0; weight rows 0).
+
+    Inputs: sr = [lo, hi, zl, zu, Zl, Zu, mask] raw rows (the last row is
+    the soft-row mask sentinel); uw/lhw/sw the raw (unscaled) warm-start
+    rows, sw = [sl, su, lU, lL, nl, nu]; fl[0,0] = ws_valid flag.
+    Outputs mirror the loop kernel's inputs plus the two equilibration
+    scale rows (for the XLA-side final un-scaling).
+    """
+    f32 = jnp.float32
+
+    def dotg(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a, b, (((ca,), (cb,)), ((), ())),
+            preferred_element_type=f32, precision=_HIGH)
+
+    m_hv = mh[...]
+    # hard rows: per-row inf-norm equilibration (rows are lanes of G^T)
+    Gth = Gthr[...]
+    sch = jnp.where(m_hv > 0,
+                    jnp.maximum(jnp.max(jnp.abs(Gth), axis=0, keepdims=True),
+                                1e-10), 1.0)
+    Gth_s = Gth / sch
+    dhs = jnp.where(m_hv > 0, dhr[...] / sch, 1.0)
+    w_hrow = m_hv / (1.0 + jnp.abs(dhs))
+
+    # soft rows; the mask rides in as sr's sentinel row (1 on real rows)
+    Gts = Gtsr[...]
+    ms_row = sr[6:7]
+    scs = jnp.where(ms_row > 0,
+                    jnp.maximum(jnp.max(jnp.abs(Gts), axis=0, keepdims=True),
+                                1e-10), 1.0)
+    Gts_s = Gts / scs
+    lo = jnp.where(ms_row > 0, sr[0:1] / scs, -1.0)
+    hi = jnp.where(ms_row > 0, sr[1:2] / scs, 1.0)
+    zl_ = jnp.where(ms_row > 0, sr[2:3] * scs, 0.0)
+    zu_ = jnp.where(ms_row > 0, sr[3:4] * scs, 0.0)
+    Zl_ = jnp.where(ms_row > 0, sr[4:5] * scs * scs, 1.0)
+    Zu_ = jnp.where(ms_row > 0, sr[5:6] * scs * scs, 1.0)
+    wU = ms_row / (1.0 + jnp.abs(hi))
+    wL = ms_row / (1.0 + jnp.abs(lo))
+
+    qscale = 1.0 + jnp.max(jnp.abs(gpr[...])) + jnp.max(zl_)
+    mu0 = qscale
+
+    # central-path cold start at the dual scale (s*lam = mu0 per pair)
+    th0 = jnp.where(m_hv > 0, jnp.maximum(dhs, 1.0), 1.0)
+    lh0 = jnp.where(m_hv > 0, mu0 / th0, 0.0)
+    one_s = jnp.ones_like(ms_row)
+    tU0 = jnp.where(ms_row > 0, jnp.maximum(hi + 1.0, 1.0), 1.0)
+    tL0 = jnp.where(ms_row > 0, jnp.maximum(-lo + 1.0, 1.0), 1.0)
+    sl0 = one_s
+    su0 = one_s
+    lU0 = jnp.where(ms_row > 0, mu0 / tU0, 0.0)
+    lL0 = jnp.where(ms_row > 0, mu0 / tL0, 0.0)
+    nl0 = jnp.where(ms_row > 0, mu0, 0.0)
+    nu0 = nl0
+
+    # duals-only warm start: carried (unscaled) quantities map into this
+    # call's row scaling; staleness = stationarity of the carried pair
+    lh_w = lhw[...] * sch
+    sl_w = sw[0:1] / scs
+    su_w = sw[1:2] / scs
+    lU_w = sw[2:3] * scs
+    lL_w = sw[3:4] * scs
+    nl_w = sw[4:5] * scs
+    nu_w = sw[5:6] * scs
+
+    r_w = (dotg(uw[...], Hp[...], 1, 0) + gpr[...]
+           + dotg(lh_w, Gth_s, 1, 1) + dotg(lU_w - lL_w, Gts_s, 1, 1))
+    rq = jnp.max(jnp.abs(r_w)) / qscale
+    tau = jnp.clip(rq, 1e-4, 1.0)
+    mu_ws = mu0 * tau
+    floor = ws_floor * mu_ws
+    cap = ws_cap * mu_ws
+    tau_h = tau * (1.0 + jnp.abs(dhs))
+    th_w = jnp.where(m_hv > 0, jnp.maximum(dhs, tau_h), 1.0)
+    lh_w = jnp.where(m_hv > 0, jnp.clip(lh_w, floor / th_w, cap / th_w), 0.0)
+    sl_w = jnp.maximum(sl_w, tau)
+    su_w = jnp.maximum(su_w, tau)
+    tU_w = jnp.where(ms_row > 0,
+                     jnp.maximum(hi + su_w, tau * (1.0 + jnp.abs(hi))), 1.0)
+    tL_w = jnp.where(ms_row > 0,
+                     jnp.maximum(-lo + sl_w, tau * (1.0 + jnp.abs(lo))), 1.0)
+    lU_w = jnp.where(ms_row > 0, jnp.clip(lU_w, floor / tU_w, cap / tU_w), 0.0)
+    lL_w = jnp.where(ms_row > 0, jnp.clip(lL_w, floor / tL_w, cap / tL_w), 0.0)
+    nl_w = jnp.where(ms_row > 0, jnp.clip(nl_w, floor / sl_w, cap / sl_w), 0.0)
+    nu_w = jnp.where(ms_row > 0, jnp.clip(nu_w, floor / su_w, cap / su_w), 0.0)
+    sl_w = jnp.where(ms_row > 0, sl_w, 1.0)
+    su_w = jnp.where(ms_row > 0, su_w, 1.0)
+
+    def kkt0(th, lh, tU, tL, sl, su, lU, lL, nl, nu_):
+        """KKT residual at u = 0 (both start candidates sit there)."""
+        r1 = gpr[...] + dotg(lh, Gth_s, 1, 1) + dotg(lU - lL, Gts_s, 1, 1)
+        r_stat = jnp.max(jnp.abs(r1)) / qscale
+        rp_h = jnp.abs(th - dhs) * w_hrow
+        rp_s = jnp.maximum(jnp.abs(tU - su - hi) * wU,
+                           jnp.abs(tL - sl + lo) * wL)
+        r_prim = jnp.maximum(jnp.max(rp_h), jnp.max(rp_s))
+        compl = (jnp.sum(th * lh) + jnp.sum(tU * lU) + jnp.sum(tL * lL)
+                 + jnp.sum(sl * nl) + jnp.sum(su * nu_))
+        return jnp.maximum(jnp.maximum(r_stat, r_prim),
+                           compl / (m_total * qscale))
+
+    valid = ((fl[0, 0] > 0.0) & (rq < 1e-2)
+             & (kkt0(th_w, lh_w, tU_w, tL_w, sl_w, su_w,
+                     lU_w, lL_w, nl_w, nu_w)
+                <= kkt0(th0, lh0, tU0, tL0, sl0, su0, lU0, lL0, nl0, nu0)))
+
+    Gtho[...] = Gth_s
+    Gtso[...] = Gts_s
+    dho[0:1, :] = dhs
+    dho[1:2, :] = w_hrow
+    sdo[0:1, :] = lo
+    sdo[1:2, :] = hi
+    sdo[2:3, :] = zl_
+    sdo[3:4, :] = zu_
+    sdo[4:5, :] = Zl_
+    sdo[5:6, :] = Zu_
+    sdo[6:7, :] = wU
+    sdo[7:8, :] = wL
+    u0o[...] = jnp.zeros_like(uw[...])
+    h0o[0:1, :] = jnp.where(valid, th_w, th0)
+    h0o[1:2, :] = jnp.where(valid, lh_w, lh0)
+    s0o[0:1, :] = jnp.where(valid, tU_w, tU0)
+    s0o[1:2, :] = jnp.where(valid, tL_w, tL0)
+    s0o[2:3, :] = jnp.where(valid, sl_w, sl0)
+    s0o[3:4, :] = jnp.where(valid, su_w, su0)
+    s0o[4:5, :] = jnp.where(valid, lU_w, lU0)
+    s0o[5:6, :] = jnp.where(valid, lL_w, lL0)
+    s0o[6:7, :] = jnp.where(valid, nl_w, nl0)
+    s0o[7:8, :] = jnp.where(valid, nu_w, nu0)
+    qso[0] = qscale
+    scho[...] = sch
+    scso[...] = scs
+
+
+def run_full(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
+             ws, ws_valid, tol: float, reg: float, max_iter: int,
+             stall_iters: int = 10, stall_rtol: float = 0.01,
+             mu_grind: float = 1e-6, ws_band=(1e-8, 1e12)):
+    """The complete fused path of ``solve_qp_soft``: prepare kernel
+    (equilibration + start assembly + warm acceptance) feeding the chunked
+    Mehrotra loop kernel.  XLA only pads inputs and un-scales outputs.
+
+    Returns ``(best_state_11tuple_scaled, best_res, iters, scale_h,
+    scale_s)`` — the same quantities qp.py's XLA twin holds after its
+    while_loop, so the caller's status/un-scale tail is shared.
     """
     f32 = jnp.float32
     nU = g.shape[0]
@@ -417,40 +573,83 @@ def run_mehrotra(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     m_sp = -(-m_s // LANES) * LANES
     m_total = m_h + 4 * m_s
 
+    def padr(rows, m, m_p):
+        """Stack 1-D rows and zero-pad the lane axis (values on pads are
+        irrelevant: the prepare kernel mask-forces every derived row)."""
+        return jnp.pad(jnp.stack([jnp.asarray(r, f32) for r in rows]),
+                       ((0, 0), (0, m_p - m)))
+
     Hp = jnp.zeros((nU_p, nU_p), f32).at[:nU, :nU].set(H)
     Hp = Hp + jnp.diag(jnp.arange(nU_p) >= nU).astype(f32)
-    gp = jnp.zeros((1, nU_p), f32).at[0, :nU].set(g)
-    Gth = jnp.zeros((nU_p, m_hp), f32).at[:nU, :m_h].set(G_h.T)
-    # dh row 1 / sd rows 6-7: relative primal-residual weights
-    # mask/(1+|bound|) (zero on padding), matching the XLA twin's
-    # kkt_residual
-    dh = jnp.stack([
-        jnp.ones((m_hp,), f32).at[:m_h].set(d_h),
-        jnp.zeros((m_hp,), f32).at[:m_h].set(1.0 / (1.0 + jnp.abs(d_h))),
-    ])
+    gpr = padr([g], nU, nU_p)
+    Gthr = jnp.pad(jnp.asarray(G_h.T, f32),
+                   ((0, nU_p - nU), (0, m_hp - m_h)))
+    dhr = padr([d_h], m_h, m_hp)
     mh = jnp.zeros((1, m_hp), f32).at[0, :m_h].set(1.0)
-    Gts = jnp.zeros((nU_p, m_sp), f32).at[:nU, :m_s].set(G_s.T)
-    ms = jnp.zeros((1, m_sp), f32).at[0, :m_s].set(1.0)
-    sd = jnp.stack([
-        jnp.full((m_sp,), -1.0, f32).at[:m_s].set(lo_s),
-        jnp.ones((m_sp,), f32).at[:m_s].set(hi_s),
-        jnp.zeros((m_sp,), f32).at[:m_s].set(zl),
-        jnp.zeros((m_sp,), f32).at[:m_s].set(zu),
-        jnp.ones((m_sp,), f32).at[:m_s].set(Zl),
-        jnp.ones((m_sp,), f32).at[:m_s].set(Zu),
-        jnp.zeros((m_sp,), f32).at[:m_s].set(1.0 / (1.0 + jnp.abs(hi_s))),
-        jnp.zeros((m_sp,), f32).at[:m_s].set(1.0 / (1.0 + jnp.abs(lo_s))),
-    ])
+    Gtsr = jnp.pad(jnp.asarray(G_s.T, f32),
+                   ((0, nU_p - nU), (0, m_sp - m_s)))
+    ones_s = jnp.ones((m_s,), f32)
+    sr = padr([lo_s, hi_s, zl, zu, Zl, Zu, ones_s], m_s, m_sp)
 
-    (u_0, sl_0, su_0, th_0, lh_0, tU_0, lU_0, tL_0, lL_0, nl_0, nu_0) = st0
-    u0 = jnp.zeros((1, nU_p), f32).at[0, :nU].set(u_0)
-    h0 = jnp.stack([jnp.ones((m_hp,), f32).at[:m_h].set(th_0),
-                    jnp.zeros((m_hp,), f32).at[:m_h].set(lh_0)])
-    s_rows = [tU_0, tL_0, sl_0, su_0]
-    d_rows = [lU_0, lL_0, nl_0, nu_0]
-    s0 = jnp.stack(
-        [jnp.ones((m_sp,), f32).at[:m_s].set(r) for r in s_rows]
-        + [jnp.zeros((m_sp,), f32).at[:m_s].set(r) for r in d_rows])
+    if ws is None:
+        uw = jnp.zeros((1, nU_p), f32)
+        lhw = jnp.zeros((1, m_hp), f32)
+        sw = jnp.zeros((6, m_sp), f32)
+        flv = jnp.zeros((), f32)
+    else:
+        (u_w, sl_w, su_w, _, lh_w, _, lU_w, _, lL_w, nl_w, nu_w) = ws
+        uw = padr([u_w], nU, nU_p)
+        lhw = padr([lh_w], m_h, m_hp)
+        sw = padr([sl_w, su_w, lU_w, lL_w, nl_w, nu_w], m_s, m_sp)
+        flv = (jnp.ones((), f32) if ws_valid is None
+               else jnp.asarray(ws_valid).astype(f32))
+    fl = flv.reshape(1, 1)
+
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    prep = pl.pallas_call(
+        functools.partial(_prepare_kernel, m_total=m_total,
+                          ws_floor=float(ws_band[0]),
+                          ws_cap=float(ws_band[1])),
+        in_specs=[vspec()] * 10 + [sspec()],
+        out_specs=[vspec()] * 7 + [sspec()] + [vspec()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nU_p, m_hp), f32),
+                   jax.ShapeDtypeStruct((nU_p, m_sp), f32),
+                   jax.ShapeDtypeStruct((2, m_hp), f32),
+                   jax.ShapeDtypeStruct((8, m_sp), f32),
+                   jax.ShapeDtypeStruct((1, nU_p), f32),
+                   jax.ShapeDtypeStruct((2, m_hp), f32),
+                   jax.ShapeDtypeStruct((8, m_sp), f32),
+                   jax.ShapeDtypeStruct((1,), f32),
+                   jax.ShapeDtypeStruct((1, m_hp), f32),
+                   jax.ShapeDtypeStruct((1, m_sp), f32)],
+        interpret=_INTERPRET,
+    )
+    (Gth, Gts, dh, sd, u0, h0, s0, qsc, sch, scs) = prep(
+        Hp, gpr, Gthr, dhr, mh, Gtsr, sr, uw, lhw, sw, fl)
+
+    ms = jnp.zeros((1, m_sp), f32).at[0, :m_s].set(1.0)
+    best, bres, it_tot = _run_chunks(
+        Hp, gpr, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qsc[0],
+        nU=nU, m_h=m_h, m_s=m_s, m_total=m_total, tol=tol, reg=reg,
+        max_iter=max_iter, stall_iters=stall_iters, stall_rtol=stall_rtol,
+        mu_grind=mu_grind)
+    return best, bres, it_tot, sch[0, :m_h], scs[0, :m_s]
+
+
+def _run_chunks(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qscale,
+                *, nU: int, m_h: int, m_s: int, m_total: int,
+                tol: float, reg: float, max_iter: int,
+                stall_iters: int, stall_rtol: float, mu_grind: float):
+    """Chunked Mehrotra loop over already-prepared (scaled, padded) data.
+
+    Returns ``(best_state_11tuple, best_res, iters)``.
+    """
+    f32 = jnp.float32
+    nU_p = Hp.shape[0]
+    m_hp = dh.shape[1]
+    m_sp = sd.shape[1]
+
     # qs row: [qscale, remaining-budget, stall-counter, global-best-res];
     # slots 1-3 are refreshed per chunk so the fused path caps at exactly
     # max_iter iterations and keeps XLA-twin stall semantics across chunks
