@@ -26,6 +26,10 @@ def main():
                         help="record every SQP iterate: per-iterate debug "
                              "frames + video_sqp.gif in the artifact dir "
                              "(ref: src/solver.py:194-352)")
+    parser.add_argument("--live", action="store_true",
+                        help="grab a video frame per MPC step WHILE the "
+                             "loop runs (ref: src/DEMPC.py:60-66 in-loop "
+                             "plotting) -> video_live.{mp4,gif}")
     args = parser.parse_args()
 
     if args.dtype:
@@ -58,9 +62,19 @@ def main():
         rec.tilde_eps_list = data.tilde_eps
         rec.ci_list = data.ci
 
+    live = None
+    if args.live:
+        from sampling_gpmpc_tpu import visu
+        live = visu.LiveRenderer(
+            params, save_path,
+            tilde_eps=data.tilde_eps if spec.use_tightening else None,
+            P=data.P_term if spec.use_tightening else None)
     mpc = DEMPC(params, spec, data, env, recorder=rec, verbose=not args.quiet,
-                debug_sqp_dir=save_path if args.debug_sqp else None)
+                debug_sqp_dir=save_path if args.debug_sqp else None,
+                live=live)
     out = mpc.run()
+    if live is not None:
+        print(f"live video: {live.close()} ({live.frames} frames)")
 
     artifact = rec.save_data()
     if args.debug_sqp and mpc.sqp_records:

@@ -37,9 +37,13 @@ class DEMPC:
 
     def __init__(self, params: dict, spec: ProblemSpec, data: ProblemData,
                  env: Env, dtype=None, recorder=None, verbose=False,
-                 debug_sqp_dir: Optional[str] = None):
+                 debug_sqp_dir: Optional[str] = None, live=None):
         from sampling_gpmpc_tpu.setup import default_dtype
         self.verbose = verbose
+        # optional in-loop frame grabber (visu.LiveRenderer): the reference
+        # plots + grabs a video frame per MPC iteration from inside the
+        # loop (ref: src/DEMPC.py:60-66, src/visu.py:36-54)
+        self.live = live
         self.spec, self.data, self.env = spec, data, env
         self.dtype = dtype or default_dtype()
         self.ocp = make_ocp_data(spec, data, self.dtype)
@@ -229,6 +233,8 @@ class DEMPC:
             if self.recorder is not None:
                 self.recorder.record(np.asarray(x_curr), np.asarray(X),
                                      np.asarray(U), dt_solve, self)
+            if self.live is not None:
+                self.live.grab(np.asarray(x_curr), np.asarray(X))
 
             x_curr = x_next.reshape(-1)
             if spec.dynamics_rejection:

@@ -241,3 +241,71 @@ def _render_video(data, params, out_dir, nx, dims, tilde_eps, P):
             writer.grab_frame()
     plt.close(fig)
     return out
+
+
+class LiveRenderer:
+    """In-loop frame grabbing while the closed loop RUNS.
+
+    The reference opens its video writer before the MPC loop and grabs a
+    frame per iteration from inside it (ref: src/visu.py:36-54 opens
+    writer_gp and hands it to the loop; src/DEMPC.py:60-66 plots + grabs
+    each receding-horizon solution as it is produced).  This is the same
+    contract: construct before the loop, call :meth:`grab` once per MPC
+    step with the fresh plan, :meth:`close` after the loop to finalize the
+    file.  Frames accumulate the closed-loop path so far on top of the
+    current plan fan.
+    """
+
+    def __init__(self, params: dict, out_dir: str, fps: int = 5,
+                 tilde_eps=None, P=None, fname: str = "video_live"):
+        import matplotlib.animation as manimation
+        os.makedirs(out_dir, exist_ok=True)
+        self.params = params
+        self.nx = params["agent"]["dim"]["nx"]
+        self.dims = (0, 1)
+        self.tilde_eps, self.P = tilde_eps, P
+        if manimation.FFMpegWriter.isAvailable():
+            self.writer = manimation.FFMpegWriter(fps=fps)
+            self.path = os.path.join(out_dir, fname + ".mp4")
+        else:
+            self.writer = manimation.PillowWriter(fps=fps)
+            self.path = os.path.join(out_dir, fname + ".gif")
+        self.fig, self.ax = plt.subplots(
+            figsize=(10, 5) if "bicycle" in params["env"]["dynamics"]
+            else (6, 6))
+        self.writer.setup(self.fig, self.path, dpi=110)
+        self._phys = []
+        self.frames = 0
+
+    def grab(self, x_curr, X_plan):
+        """Render one frame: plan fan + closed-loop path so far.
+
+        Args:
+            x_curr: (nx,) measured state at this MPC step.
+            X_plan: (H+1, ns, nx) or (H+1, ns*nx) plan just solved.
+        """
+        self._phys.append(np.asarray(x_curr).reshape(-1)[:self.nx])
+        ax = self.ax
+        ax.clear()
+        draw_environment(ax, self.params)
+        X_flat = np.asarray(X_plan).reshape(np.shape(X_plan)[0], -1)
+        plot_receding_traj(ax, X_flat, self.nx, self.dims)
+        if self.tilde_eps is not None and self.P is not None:
+            plot_reachable_ellipses(ax, X_flat, self.nx, self.P,
+                                    self.tilde_eps, self.dims)
+        if "bicycle" in self.params["env"]["dynamics"]:
+            draw_car(ax, self._phys[-1])
+        p = np.stack(self._phys)
+        ax.plot(p[:, self.dims[0]], p[:, self.dims[1]], "k.-",
+                linewidth=1.5, label="closed loop")
+        ax.set_xlabel(f"x[{self.dims[0]}]")
+        ax.set_ylabel(f"x[{self.dims[1]}]")
+        self.writer.grab_frame()
+        self.frames += 1
+
+    def close(self):
+        if self.fig is not None:
+            self.writer.finish()
+            plt.close(self.fig)
+            self.fig = None
+        return self.path

@@ -68,3 +68,18 @@ def test_plot_sqp_iterate(short_run, tmp_path):
     p = plot_sqp_iterate(str(tmp_path / "iterate.png"), X, U,
                          x_bounds=[data.x_min[1], data.x_max[1]])
     assert os.path.exists(p)
+
+
+def test_live_renderer(short_run, tmp_path):
+    """In-loop frame grabbing (ref: src/DEMPC.py:60-66): a frame per grab,
+    file finalized on close, same plan/path content as the loop produces."""
+    from sampling_gpmpc_tpu.visu import LiveRenderer
+    params, spec, data, rec, out_dir = short_run
+    live = LiveRenderer(params, str(tmp_path), fps=2,
+                        tilde_eps=data.tilde_eps, P=data.P_term)
+    X0 = rec.state_traj[0].reshape(spec.H + 1, spec.ns, spec.nx)
+    for m, x in enumerate(rec.physical_state_traj[:2]):
+        live.grab(np.asarray(x).reshape(-1)[:spec.nx], X0)
+    path = live.close()
+    assert live.frames == 2
+    assert os.path.exists(path) and os.path.getsize(path) > 0
