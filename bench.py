@@ -202,8 +202,9 @@ def _mpc_step(spec, env, hyp, ocp, x, X, U, gp, ws, wv, eps, K_fb, goal,
 
 
 def time_closed_loop(step, carry0, eps, n_warmup=3, n_iter=20):
-    """Steady-state MPC step rate: run the warmup transient, then time
-    n_iter chained steps, dispatch-pipelined with one final block."""
+    """Chained per-step dispatch timing (diagnostic only: through the axon
+    relay this measures host dispatch rate as much as device time — see
+    setup_closed_loop_scan, which the headline metric uses instead)."""
     carry = carry0
     for m in range(n_warmup):
         carry = step(carry, eps[m % eps.shape[0]])
@@ -213,6 +214,75 @@ def time_closed_loop(step, carry0, eps, n_warmup=3, n_iter=20):
         carry = step(carry, eps[(n_warmup + m) % eps.shape[0]])
     carry[0].block_until_ready()
     return (time.perf_counter() - t0) / n_iter
+
+
+def setup_closed_loop_scan(spec, data, env, device, dtype):
+    """Closed-loop window as ONE jitted ``lax.scan`` (single dispatch).
+
+    Timing the loop as chained per-step dispatches charges the axon
+    relay's host->device dispatch rate (~1 ms/call, load-dependent) to
+    every step — measured as a 2x run-to-run spread on the same device
+    computation (196/273/368 solves/s across round-3 runs) while the
+    single-dispatch fs metric held +-1 %.  The plant step is simulated
+    on-device either way, so folding the whole window into one scan is
+    the same computation minus the relay artifact: what local (non-
+    tunneled) hardware would measure.
+    """
+    from sampling_gpmpc_tpu import agent as agent_mod
+    from sampling_gpmpc_tpu.dempc import shift_solution
+    from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+    from sampling_gpmpc_tpu.ocp import sqp
+    from sampling_gpmpc_tpu.ocp.spec import make_ocp_data
+
+    ocp = make_ocp_data(spec, data, dtype)
+    hyp = GPHyperArrays.from_spec(spec.gp, dtype)
+    gp = agent_mod.init_gp_state(spec, env, dtype)
+    X, U = sqp.init_iterate(spec, dtype, data.start)
+    eps = agent_mod.make_epistemic(jax.random.PRNGKey(spec.seed), spec,
+                                   dtype)
+    x0 = jnp.asarray(data.start, dtype)
+    ws = sqp.init_qp_ws(spec, dtype)
+    K_fb = (jnp.asarray(data.K_fb, dtype) if spec.use_feedback else None)
+    goal = jnp.asarray(data.goal, dtype)
+
+    def loop(carry, eps_seq):
+        def body(c, eps_m):
+            out = _mpc_step(spec, env, hyp, ocp, *c, eps_m, K_fb, goal,
+                            shift_solution)
+            return out, out[0]
+        return jax.lax.scan(body, carry, eps_seq)
+
+    jloop = jax.jit(loop)
+
+    def run(carry, eps_seq):
+        with jax.default_device(device):
+            return jloop(carry, eps_seq)
+
+    carry0 = jax.device_put(
+        (x0, X, U, gp, ws, jnp.asarray(False)), device)
+    eps = jax.device_put(eps, device)
+    return run, carry0, eps
+
+
+def time_closed_loop_scan(run, carry0, eps, n_warmup=3, n_iter=20,
+                          reps=3):
+    """Steady-state MPC step rate, relay-proof: ONE dispatch per timing
+    window.  Runs the warmup transient once, then times ``reps`` windows
+    of ``n_iter`` steps from the same warm carry and keeps the fastest
+    (windows are identical computations; min rejects residual host
+    noise)."""
+    carry, _ = run(carry0, eps[:n_warmup])
+    jax.block_until_ready(carry[0])
+    window = eps[n_warmup:n_warmup + n_iter]
+    out, _ = run(carry, window)          # compile the timed window shape
+    jax.block_until_ready(out[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, xs = run(carry, window)
+        jax.block_until_ready(xs)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
 
 
 def time_solve(fn, args, n_warmup=2, n_iter=20):
@@ -313,12 +383,13 @@ def main():
     profile_dir = os.environ.get("SGPMPC_PROFILE")
 
     dev = jax.devices()[0]
-    step, carry0, eps = setup_closed_loop(spec, data, env, dev, dtype)
-    dt_dev = time_closed_loop(step, carry0, eps, n_warmup, n_iter)
+    run, carry0, eps = setup_closed_loop_scan(spec, data, env, dev, dtype)
+    dt_dev = time_closed_loop_scan(run, carry0, eps, n_warmup, n_iter)
     if profile_dir:
         # one traced window for jax.profiler / xprof (SURVEY §5 tracing)
         with jax.profiler.trace(profile_dir):
-            time_closed_loop(step, carry0, eps, n_warmup=1, n_iter=5)
+            time_closed_loop_scan(run, carry0, eps, n_warmup, n_iter=5,
+                                  reps=1)
         print(f"# trace written to {profile_dir}", file=sys.stderr)
     solves_per_s = 1.0 / dt_dev
 
@@ -335,14 +406,35 @@ def main():
     if dev.platform != "cpu":
         try:
             cpu = jax.devices("cpu")[0]
-            step_c, carry_c, eps_c = setup_closed_loop(
+            run_c, carry_c, eps_c = setup_closed_loop_scan(
                 spec, data, env, cpu, dtype)
-            dt_cpu = min(time_closed_loop(step_c, carry_c, eps_c,
-                                          n_warmup=1, n_iter=3)
-                         for _ in range(3))
+            dt_cpu = time_closed_loop_scan(run_c, carry_c, eps_c,
+                                           n_warmup, n_iter=3, reps=3)
             vs_baseline = dt_cpu / dt_dev
         except Exception as e:  # noqa: BLE001
             print(f"# cpu baseline failed: {e}", file=sys.stderr)
+
+    # large-ns headline row (VERDICT r3 #6): the method's published scale
+    # is ns=500-4000 (params_pendulum_samples ns=500, fs ns=4000); report
+    # the same warm closed-loop metric at ns=512 where per-sample cost
+    # amortizes the dispatch floor
+    ns512 = {"v": 0.0, "vs": 0.0}
+    if dev.platform != "cpu" and not os.environ.get("SGPMPC_BENCH_SKIP_512"):
+        try:
+            _, spec5, data5, env5 = build(
+                {"ns": 512, "num_mpc_iter": n_warmup + 5})
+            run5, c5, e5 = setup_closed_loop_scan(spec5, data5, env5, dev,
+                                                  dtype)
+            dt5 = time_closed_loop_scan(run5, c5, e5, n_warmup, n_iter=5,
+                                        reps=2)
+            ns512["v"] = 1.0 / dt5
+            run5c, c5c, e5c = setup_closed_loop_scan(
+                spec5, data5, env5, jax.devices("cpu")[0], dtype)
+            dt5c = time_closed_loop_scan(run5c, c5c, e5c, n_warmup,
+                                         n_iter=2, reps=2)
+            ns512["vs"] = dt5c / dt5
+        except Exception as e:  # noqa: BLE001
+            print(f"# ns=512 bench failed: {e}", file=sys.stderr)
 
     # second BASELINE metric: GP-sample rollouts/s/chip (fs reachability)
     fs_steps_per_s = 0.0
@@ -363,10 +455,15 @@ def main():
         "metric": "sqp_solves_per_s",
         "value": round(solves_per_s, 3),
         "unit": "solves/s (ns=64, H=20, warm closed-loop GP-sampling "
-                "SQP-RTI steps: solve + plant step + shift); cpu baseline "
+                "SQP-RTI steps: solve + plant step + shift; whole window "
+                "as one jitted lax.scan, single dispatch); cpu baseline "
                 "= min of 3 repeats of the identical jitted computation",
         "vs_baseline": round(vs_baseline, 3),
         "load_avg_1min": load_avg,
+        "ns512_value": round(ns512["v"], 3),
+        "ns512_vs_baseline": round(ns512["vs"], 3),
+        "ns512_unit": "solves/s, same warm closed-loop metric at ns=512 "
+                      "(the method's published sample scale)",
         "fs_metric": "gp_sample_rollout_steps_per_s",
         "fs_value": round(fs_steps_per_s, 1),
         "fs_unit": "sampled steps/s (ns=4000 GP realizations x 50 steps, "
