@@ -77,7 +77,7 @@ if __name__ == "__main__" and os.environ.get("SGPMPC_BENCH_WORKER") != "1":
               file=sys.stderr, flush=True)
     else:
         line = _run_worker({}, float(os.environ.get("SGPMPC_BENCH_TIMEOUT",
-                                                    "480")))
+                                                    "900")))
     if line is None:
         print("# accelerator bench hung or failed; host-CPU fallback",
               file=sys.stderr, flush=True)
@@ -246,11 +246,19 @@ def setup_closed_loop_scan(spec, data, env, device, dtype):
     goal = jnp.asarray(data.goal, dtype)
 
     def loop(carry, eps_seq):
-        def body(c, eps_m):
-            out = _mpc_step(spec, env, hyp, ocp, *c, eps_m, K_fb, goal,
-                            shift_solution)
-            return out, out[0]
-        return jax.lax.scan(body, carry, eps_seq)
+        # fori_loop, NOT lax.scan: wrapping the Pallas stages in a scan
+        # triggers a pathological one-time ~140 s XLA compile (measured;
+        # the identical body under while/fori compiles in ~10 s)
+        n = eps_seq.shape[0]
+
+        def body(k, c):
+            eps_m = jax.lax.dynamic_index_in_dim(eps_seq, k,
+                                                 keepdims=False)
+            return _mpc_step(spec, env, hyp, ocp, *c, eps_m, K_fb, goal,
+                             shift_solution)
+
+        out = jax.lax.fori_loop(0, n, body, carry)
+        return out, out[0]
 
     jloop = jax.jit(loop)
 
@@ -267,15 +275,21 @@ def setup_closed_loop_scan(spec, data, env, device, dtype):
 def time_closed_loop_scan(run, carry0, eps, n_warmup=3, n_iter=20,
                           reps=3):
     """Steady-state MPC step rate, relay-proof: ONE dispatch per timing
-    window.  Runs the warmup transient once, then times ``reps`` windows
-    of ``n_iter`` steps from the same warm carry and keeps the fastest
-    (windows are identical computations; min rejects residual host
-    noise)."""
-    carry, _ = run(carry0, eps[:n_warmup])
+    window.  The warmup transient reuses the SAME n_iter-step window
+    shape as the timed windows so the whole bench compiles exactly one
+    scan (compiles dominate the budget with the fused Pallas stages).
+    Times ``reps`` windows from the warm carry and keeps the fastest
+    (identical computations; min rejects residual host noise)."""
+    carry = carry0
+    for s in range(0, max(n_warmup, 1), n_iter):
+        w = eps[s:s + n_iter]
+        if w.shape[0] < n_iter:     # pad by cycling from the start
+            w = jnp.concatenate([w, eps[:n_iter - w.shape[0]]])
+        carry, _ = run(carry, w)
     jax.block_until_ready(carry[0])
     window = eps[n_warmup:n_warmup + n_iter]
-    out, _ = run(carry, window)          # compile the timed window shape
-    jax.block_until_ready(out[0])
+    if window.shape[0] < n_iter:
+        window = jnp.concatenate([window, eps[:n_iter - window.shape[0]]])
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -178,6 +178,38 @@ def _batched_posterior_real(spec: ProblemSpec, hyp: GPHyperArrays,
         Xt, gp.real_fact, hyp.lengthscale, hyp.outputscale)
 
 
+def _fused_sample_empty(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
+                        Xt, eps):
+    """Empty-hall GP stage via the fused Pallas kernel (ops/pallas_gp.py).
+
+    XLA evaluates the kernel blocks (a handful of well-fused elementwise
+    ops); the kernel runs mask, posterior, batched Cholesky, pathwise
+    draw and the override tail in one launch per output.
+    """
+    from sampling_gpmpc_tpu.gp.kernel import kernel_matrix
+    from sampling_gpmpc_tpu.ops import pallas_gp
+
+    wg = spec.use_derivatives
+    H, Ty = spec.H, spec.Ty
+    R = gp.real_fact["mask"].shape[-1]
+    j0 = max(hyp.jitter, 1e-6)   # safe_cholesky's f32 first-attempt floor
+    dgs = []
+    for j in range(spec.g_ny):
+        ls = hyp.lengthscale[j]
+        os_ = hyp.outputscale[j]
+        Kall = jax.vmap(lambda Xt1, ls=ls, os_=os_: kernel_matrix(
+            Xt1, jnp.concatenate([gp.real_Z, Xt1], axis=0), ls, os_, wg))(Xt)
+        Kxm = Kall[..., :R] * gp.real_fact["mask"][j][None, None, :]
+        Ktt = Kall[..., R:]
+        pv = exact.prior_task_variances(ls, os_, Ty)
+        dg_j = pallas_gp.sample_empty_one(
+            Kxm, Ktt, eps[:, j].reshape(spec.ns, H * Ty),
+            gp.real_fact["Linv"][j], gp.real_fact["alpha"][j],
+            jnp.tile(pv, H), j0, hyp.beta, hyp.variance_is_zero, 1e-5)
+        dgs.append(dg_j.reshape(spec.ns, H, Ty))
+    return jnp.stack(dgs, axis=1)                       # (ns, g_ny, H, Ty)
+
+
 def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                     gp: GPState, Xt: jnp.ndarray, eps: jnp.ndarray,
                     axis_name=None,
@@ -222,7 +254,17 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
         Z = jnp.zeros((spec.ns, spec.g_ny, 1, Xt.shape[-1]), Xt.dtype)
         Y = jnp.full((spec.ns, spec.g_ny, 1, Ty), jnp.nan, Xt.dtype)
         dist = None
-    if hall_empty:
+    from sampling_gpmpc_tpu.ops import pallas_gp
+    use_fused = (hall_empty and not oracle_only
+                 and "Linv" in gp.real_fact
+                 and pallas_gp.fused_ok(spec, hyp, Xt.dtype, spec.ns,
+                                        H * Ty,
+                                        gp.real_fact["mask"].shape[-1]))
+    if use_fused:
+        # fused TPU path: no (mean, cov) materialization — the gate
+        # excludes every consumer of them (mean_as_dyn_sample, min-dist)
+        dg = _fused_sample_empty(spec, hyp, gp, Xt, eps)
+    elif hall_empty:
         # SQP iteration 0: buffer reset at solve entry — skip the whole
         # hall-block machinery (statically; see sqp.solve's peeled step)
         mean, cov = _batched_posterior_real(spec, hyp, gp, Xt)
@@ -231,7 +273,7 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
 
     if oracle_only:
         dg = jnp.zeros((spec.ns, spec.g_ny, H, Ty), Xt.dtype)
-    else:
+    elif not use_fused:
         pv = jax.vmap(lambda ls, os_: exact.prior_task_variances(
             ls, os_, Ty))(hyp.lengthscale, hyp.outputscale)   # (g_ny, Ty)
 

@@ -266,7 +266,13 @@ def factor_real(Z_r, Y_r, hyp_ls, hyp_os, noise_diag, jitter,
     A = m[:, None] * K * m[None, :] + jnp.diag(1.0 - m)
     L_r = safe_cholesky(A, jitter)
     w_r = jax.scipy.linalg.solve_triangular(L_r, y, lower=True)
-    return {"L": L_r, "w": w_r, "mask": m}
+    # Linv/alpha: precomputed once per experiment for the fused TPU GP
+    # stage (ops/pallas_gp.py), which replaces the per-iteration
+    # triangular solves against this FIXED factor with matmuls
+    Linv = jax.scipy.linalg.solve_triangular(
+        L_r, jnp.eye(L_r.shape[0], dtype=L_r.dtype), lower=True)
+    alpha = jax.scipy.linalg.solve_triangular(L_r.T, w_r, lower=False)
+    return {"L": L_r, "w": w_r, "mask": m, "Linv": Linv, "alpha": alpha}
 
 
 @full_precision

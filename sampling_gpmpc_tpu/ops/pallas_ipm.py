@@ -63,7 +63,11 @@ from sampling_gpmpc_tpu.ops.batch_linalg import _device_platform
 LANES = 128
 _INTERPRET = False          # flipped by tests to run kernels off-TPU
 _HIGH = jax.lax.Precision.HIGHEST
-VMEM_BUDGET = 9 * 1024 * 1024
+VMEM_BUDGET = 24 * 1024 * 1024   # v5e has 128 MB VMEM/core; leave headroom
+# the default scoped-vmem limit is 16 MB — raise it so VMEM_BUDGET-sized
+# problems actually compile (measured: ns=512 bench row OOMed at 24.3 MB
+# against the 16 MB default)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # kernel iterations per invocation: every trip costs ~5 us whether live
 # or predicated off, so size chunks for the warm-start common case
 # (<= ~12 IPM iterations) and let the outer while_loop re-invoke
@@ -624,6 +628,7 @@ def run_full(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
                    jax.ShapeDtypeStruct((1, m_hp), f32),
                    jax.ShapeDtypeStruct((1, m_sp), f32)],
         interpret=_INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )
     (Gth, Gts, dh, sd, u0, h0, s0, qsc, sch, scs) = prep(
         Hp, gpr, Gthr, dhr, mh, Gtsr, sr, uw, lhw, sw, fl)
@@ -691,6 +696,7 @@ def _run_chunks(Hp, gp, Gth, dh, mh, Gts, sd, ms, u0, h0, s0, qscale,
             pltpu.SMEM((2,), f32),
         ],
         interpret=_INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )
 
     # chunked outer loop: each trip runs one fixed-size kernel chunk from

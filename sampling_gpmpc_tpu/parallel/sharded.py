@@ -49,7 +49,8 @@ def make_sharded_solve(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
     local_spec = dataclasses.replace(spec, ns=spec.ns // n_dev)
 
     gp_spec = GPState(real_Z=P(), real_Y=P(),
-                      real_fact={"L": P(), "w": P(), "mask": P()},
+                      real_fact={"L": P(), "w": P(), "mask": P(),
+                                 "Linv": P(), "alpha": P()},
                       hall_Z=P(axis), hall_Y=P(axis), hall_n=P())
     # QP warm-start state: dU replicated, constraint-row quantities are
     # shard-local (each shard owns its samples' rows)
@@ -117,7 +118,8 @@ def make_blocked_solve(spec: ProblemSpec, env, hyp, ocp, n_blocks: int,
     # all outputs come back with a leading block axis (out_axes=0) — vmap
     # cannot know the replicated ones are block-invariant
     gp_ax = GPState(real_Z=None, real_Y=None,
-                    real_fact={"L": None, "w": None, "mask": None},
+                    real_fact={"L": None, "w": None, "mask": None,
+                               "Linv": None, "alpha": None},
                     hall_Z=0, hall_Y=0, hall_n=None)
     ocp_ax = type(ocp)(*([None] * len(ocp)))._replace(w_cost=0)
     vbody = jax.vmap(body, in_axes=(None, 1, None, gp_ax, 1, ocp_ax),
@@ -169,7 +171,8 @@ def make_sharded_rollout(spec: ProblemSpec, env, hyp, mesh: Mesh,
     assert spec.ns % n_dev == 0
     local_spec = dataclasses.replace(spec, ns=spec.ns // n_dev)
     gp_spec = GPState(real_Z=P(), real_Y=P(),
-                      real_fact={"L": P(), "w": P(), "mask": P()},
+                      real_fact={"L": P(), "w": P(), "mask": P(),
+                                 "Linv": P(), "alpha": P()},
                       hall_Z=P(axis), hall_Y=P(axis), hall_n=P())
 
     def body(gp0, x0, U, key):
