@@ -37,6 +37,10 @@ GOLDEN_CONFIGS = (
     # state-box rows at H=1; ref: params/params_pendulum_samples.yaml:38,
     # one-step planner src/DEMPC.py:82-112)
     "params_pendulum_samples",
+    # H=100: the deepest published condensing/QP horizon — pins the
+    # associative-scan condensing + QP row path at depth 100 (VERDICT r3
+    # missing #3; ref: params/params_car_samples.yaml:67)
+    "params_car_samples",
 )
 
 # pin tolerance: f64 closed loops on one platform are reproducible to
