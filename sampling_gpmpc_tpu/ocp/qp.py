@@ -129,11 +129,15 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
     def factorize(z, lam, s):
         """Residuals + assembled/factored Schur complement, shared by the
         predictor and corrector solves of one Mehrotra iteration (identical
-        weights => identical matrix; assemble and factor once)."""
+        weights => identical matrix; assemble and factor once).  The dual
+        residual's and Schur complement's cross-shard sums ride ONE
+        tuple-psum (same per-leaf arithmetic, one collective round trip
+        instead of two)."""
         w = lam / s
-        r_dual = P @ z + q + psum(C.T @ lam)
+        rd_s, M_s = psum((C.T @ lam, (C.T * w) @ C))
+        r_dual = P @ z + q + rd_s
         r_prim = C @ z + s - d
-        M = P + psum((C.T * w) @ C)
+        M = P + M_s
         inv_s, L = _precond_factor(M, reg, eye)
         return {"w": w, "r_dual": r_dual, "r_prim": r_prim,
                 "inv_s": inv_s, "L": L}
@@ -151,35 +155,55 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(1.0, 0.99 * pmin(jnp.min(ratio)))
 
+    def max_step2(v1, dv1, v2, dv2):
+        """Two step ratios through ONE stacked pmin (elementwise over the
+        pair, so each result is bit-identical to its max_step twin)."""
+        r1 = jnp.where(dv1 < 0, -v1 / jnp.where(dv1 < 0, dv1, -1.0), jnp.inf)
+        r2 = jnp.where(dv2 < 0, -v2 / jnp.where(dv2 < 0, dv2, -1.0), jnp.inf)
+        mn = pmin(jnp.stack([jnp.min(r1), jnp.min(r2)]))
+        return (jnp.minimum(1.0, 0.99 * mn[0]),
+                jnp.minimum(1.0, 0.99 * mn[1]))
+
     # scale-aware residuals: the dual residual lives in the units of q
     # (soft-constraint penalties push |q| to ~1e7), the primal in units of z
     qscale = 1.0 + jnp.max(jnp.abs(q))
 
-    def residual(z, lam, s):
-        r_dual = jnp.max(jnp.abs(P @ z + q + psum(C.T @ lam))) / qscale
+    def residual_parts(z, lam, s):
+        """KKT residual with its two cross-shard sums fused into one
+        tuple-psum; also returns the complementarity sum so the loop can
+        reuse it as the next iteration's mu numerator (it is the same
+        psum(dot(s, lam)) on the same state)."""
+        rd_s, compl = psum((C.T @ lam, jnp.dot(s, lam)))
+        r_dual = jnp.max(jnp.abs(P @ z + q + rd_s)) / qscale
         # relative row residual: far-inactive rows (|d| ~ BIG) have an
         # eps*|d| cancellation floor in the slack identity (see
         # solve_qp_soft's kkt_residual)
         r_prim = pmax(jnp.max(jnp.abs(C @ z + s - d) / (1.0 + jnp.abs(d)),
                               initial=0.0))
         return jnp.maximum(jnp.maximum(r_dual, r_prim),
-                           psum(jnp.dot(s, lam)) / (m * qscale))
+                           compl / (m * qscale)), compl
+
+    def residual(z, lam, s):
+        return residual_parts(z, lam, s)[0]
 
     def body(carry):
-        z, lam, s, it, _ = carry
-        mu = psum(jnp.dot(s, lam)) / m
+        # csum = psum(dot(s, lam)) of the carried state, computed by the
+        # previous iteration's residual_parts (same expression on the same
+        # state) — carrying it drops one collective round per iteration
+        z, lam, s, it, _, csum = carry
+        mu = csum / m
         aux = factorize(z, lam, s)
 
         # predictor (affine) step
         dz_a, ds_a, dlam_a = direction(lam, s, aux, 0.0, 0.0)
-        a_p = max_step(s, ds_a)
-        a_d = max_step(lam, dlam_a)
+        a_p, a_d = max_step2(s, ds_a, lam, dlam_a)
         mu_aff = psum(jnp.dot(s + a_p * ds_a, lam + a_d * dlam_a)) / m
         sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
 
         # corrector
         dz, ds, dlam = direction(lam, s, aux, sigma * mu, dlam_a * ds_a)
-        alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+        a_s, a_l = max_step2(s, ds, lam, dlam)
+        alpha = jnp.minimum(a_s, a_l)
         z_n = z + alpha * dz
         s_n = s + alpha * ds
         lam_n = lam + alpha * dlam
@@ -192,15 +216,17 @@ def solve_qp(P, q, C, d, tol: float = None, max_iter: int = 50,
         z = jnp.where(ok, z_n, z)
         s = jnp.where(ok, s_n, s)
         lam = jnp.where(ok, lam_n, lam)
-        res = jnp.where(ok, residual(z, lam, s), -jnp.inf)  # -inf => exit
-        return z, lam, s, it + 1, res
+        res_k, csum = residual_parts(z, lam, s)
+        res = jnp.where(ok, res_k, -jnp.inf)  # -inf => exit
+        return z, lam, s, it + 1, res, csum
 
     def cond(carry):
-        _, _, _, it, res = carry
+        _, _, _, it, res, _ = carry
         return (it < max_iter) & (res > tol)
 
-    init = (z0, lam0, s0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
-    z, lam, s, it, res = jax.lax.while_loop(cond, body, init)
+    init = (z0, lam0, s0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype),
+            psum(jnp.dot(s0, lam0)))
+    z, lam, s, it, res, _ = jax.lax.while_loop(cond, body, init)
     res = residual(z, lam, s)
     status = jnp.where(res <= jnp.asarray(tol, dtype) * STATUS_RTOL, 0, 4)
     return QPSolution(z=z, lam=lam, s=s, iters=it, status=status, gap=res)
@@ -301,20 +327,29 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
     inv_U = 1.0 / (1.0 + jnp.abs(hi_s))
     inv_L = 1.0 / (1.0 + jnp.abs(lo_s))
 
-    def kkt_residual(st):
+    def kkt_parts(st):
+        """KKT residual with the stationarity and complementarity sums
+        fused into ONE tuple-psum (one collective round trip instead of
+        two; per-leaf arithmetic unchanged).  Also returns the
+        complementarity sum — the loop reuses it as the next iteration's
+        mu numerator (identical expression on the identical state)."""
         u, sl, su, th, lh_, tU, lU, tL, lL, nl, nu_ = st
-        r1 = H @ u + g + psum(G_h.T @ lh_ + G_s.T @ (lU - lL))
-        r_stat = jnp.max(jnp.abs(r1)) / qscale
+        r1_s, compl = psum((
+            G_h.T @ lh_ + G_s.T @ (lU - lL),
+            jnp.dot(th, lh_) + jnp.dot(tU, lU) + jnp.dot(tL, lL)
+            + jnp.dot(sl, nl) + jnp.dot(su, nu_)))
+        r_stat = jnp.max(jnp.abs(H @ u + g + r1_s)) / qscale
         rp = jnp.concatenate([
             (G_h @ u + th - d_h) * inv_h,
             (G_s @ u - su + tU - hi_s) * inv_U,
             (-(G_s @ u) - sl + tL + lo_s) * inv_L,
         ]) if m_s else ((G_h @ u + th - d_h) * inv_h)
         r_prim = pmax(jnp.max(jnp.abs(rp), initial=0.0))
-        compl = psum(jnp.dot(th, lh_) + jnp.dot(tU, lU) + jnp.dot(tL, lL)
-                     + jnp.dot(sl, nl) + jnp.dot(su, nu_))
         return jnp.maximum(jnp.maximum(r_stat, r_prim),
-                           compl / (m_total * qscale))
+                           compl / (m_total * qscale)), compl
+
+    def kkt_residual(st):
+        return kkt_parts(st)[0]
 
     def max_step(pairs):
         a = jnp.asarray(1.0, dtype)
@@ -336,8 +371,12 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
 
         w_h = lh_ / th
         rp_h = G_h @ u + th - d_h
-        r1 = H @ u + g + psum(G_h.T @ lh_ + G_s.T @ (lU - lL))
+        r1_loc = G_h.T @ lh_ + G_s.T @ (lU - lL)
+        Mh_loc = (G_h.T * w_h) @ G_h
 
+        # one tuple-psum for the dual residual + both Schur contributions
+        # (was three collective rounds; per-leaf arithmetic and the
+        # H + Mh + Ms association are unchanged)
         if m_s:
             w_U, w_L = lU / tU, lL / tL
             w_Pl, w_Pu = nl / sl, nu_ / su
@@ -348,13 +387,15 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
             Dl = Zl + w_L + w_Pl
             Du = Zu + w_U + w_Pu
             w_eff = w_U + w_L - w_U * w_U / Du - w_L * w_L / Dl
-            M_s = psum((G_s.T * w_eff) @ G_s)
+            r1_s, Mh_s, M_s = psum((r1_loc, Mh_loc, (G_s.T * w_eff) @ G_s))
             soft = (w_U, w_L, w_Pl, w_Pu, rp_U, rp_L, r2, r3, Dl, Du)
         else:
+            r1_s, Mh_s = psum((r1_loc, Mh_loc))
             M_s = 0.0
             soft = None
 
-        M = H + psum((G_h.T * w_h) @ G_h) + M_s
+        r1 = H @ u + g + r1_s
+        M = H + Mh_s + M_s
         inv_s, L = _precond_factor(M, reg, eye)
         return {"w_h": w_h, "rp_h": rp_h, "r1": r1, "soft": soft,
                 "inv_s": inv_s, "L": L}
@@ -366,6 +407,8 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         w_h, rp_h, r1 = aux["w_h"], aux["rp_h"], aux["r1"]
 
         b_h = (lh_ * th - sig_mu + ch) / th
+        # hard and soft rhs contributions ride one tuple-psum (was two
+        # rounds); the -r1 + hard - soft association is unchanged
         if m_s:
             (w_U, w_L, w_Pl, w_Pu, rp_U, rp_L, r2, r3, Dl, Du) = aux["soft"]
             b_U = (lU * tU - sig_mu + cU) / tU
@@ -376,11 +419,13 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
             cu = -r3 - b_U - b_Pu + w_U * rp_U
             const_s = (-b_U + b_L + w_U * rp_U - w_L * rp_L
                        - w_U * cu / Du + w_L * cl / Dl)
-            rhs_s = psum(G_s.T @ const_s)
+            rhs_h, rhs_s = psum((G_h.T @ (b_h - w_h * rp_h),
+                                 G_s.T @ const_s))
         else:
+            rhs_h = psum(G_h.T @ (b_h - w_h * rp_h))
             rhs_s = 0.0
 
-        rhs = -r1 + psum(G_h.T @ (b_h - w_h * rp_h)) - rhs_s
+        rhs = -r1 + rhs_h - rhs_s
         du = _precond_solve(aux["inv_s"], aux["L"], rhs)
 
         dth = -(G_h @ du) - rp_h
@@ -483,8 +528,12 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         return [(st[i], d[j]) for i, j in idx]
 
     def body(carry):
-        st, best, best_res, it, _, since = carry
-        mu = compl_sum(st) / m_total
+        # csum = compl_sum(st) of the carried state, produced by the
+        # previous iteration's kkt_parts (identical expression on the
+        # identical state) — carrying it saves two collective rounds per
+        # iteration (the old mu and mu_new recomputations)
+        st, best, best_res, it, _, since, csum = carry
+        mu = csum / m_total
         aux = factorize(st)
         d_aff = direction(st, aux, 0.0, None)
         a_aff = max_step(pairs(st, d_aff))
@@ -504,7 +553,8 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         ok = pmin(ok.astype(jnp.int32)) > 0
         st = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), st_n, st)
-        res = jnp.where(ok, kkt_residual(st), jnp.inf)
+        res_k, csum = kkt_parts(st)
+        res = jnp.where(ok, res_k, jnp.inf)
         # keep the best-residual iterate: late iterations with exhausted
         # complementarity can degrade the dual residual numerically
         improved = res < best_res
@@ -525,23 +575,23 @@ def solve_qp_soft(H, g, G_h, d_h, G_s, lo_s, hi_s, zl, zu, Zl, Zu,
         # at a numerical floor.
         meaningful = res < best_res * (1.0 - STALL_RTOL)
         best_res = jnp.minimum(res, best_res)
-        mu_new = compl_sum(st) / m_total
+        mu_new = csum / m_total
         grinding = mu_new < MU_GRIND * mu0
         since = jnp.where(meaningful | ~grinding, 0, since + 1)
         live = ok & (mu_new > 1e-14 * mu0)
         if dtype != jnp.float64:
             live = live & (since < STALL_ITERS)
         res_flag = jnp.where(live, best_res, -jnp.inf)   # -inf => exit
-        return st, best, best_res, it + 1, res_flag, since
+        return st, best, best_res, it + 1, res_flag, since, csum
 
     def cond(carry):
-        _, _, _, it, res, _ = carry
+        _, _, _, it, res, _, _ = carry
         return (it < max_iter) & (res > tol)
 
-    _, best, best_res, it, _, _ = jax.lax.while_loop(
+    _, best, best_res, it, _, _, _ = jax.lax.while_loop(
         cond, body, (st0, st0, jnp.asarray(jnp.inf, dtype),
                      jnp.asarray(0), jnp.asarray(jnp.inf, dtype),
-                     jnp.asarray(0)))
+                     jnp.asarray(0), compl_sum(st0)))
     return _finish(best, best_res, it, scale_h, scale_s, tol, dtype)
 
 

@@ -31,9 +31,20 @@ import jax
 
 
 def ordered_psum(x, axis_name):
-    """all_gather + sequential shard-ordered sum (see module docstring)."""
+    """all_gather + sequential shard-ordered sum (see module docstring).
+
+    Accepts pytrees (tuples of arrays) like ``jax.lax.psum``: callers fuse
+    independent reductions into ONE tuple-psum per round trip
+    (ocp/qp.py's per-PDIP-iteration collectives); each leaf is reduced in
+    shard order independently, so the per-leaf arithmetic is identical to
+    a per-leaf call.
+    """
+    tm = jax.tree_util.tree_map
     g = jax.lax.all_gather(x, axis_name)   # (n_shards, ...) in axis order
-    return jax.lax.fori_loop(1, g.shape[0], lambda i, acc: acc + g[i], g[0])
+    n = jax.tree_util.tree_leaves(g)[0].shape[0]
+    return jax.lax.fori_loop(
+        1, n, lambda i, acc: tm(lambda a, gg: a + gg[i], acc, g),
+        tm(lambda gg: gg[0], g))
 
 
 def make_reducers(axis_name, ordered: bool = False):
