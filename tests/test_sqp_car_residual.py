@@ -74,9 +74,13 @@ def test_car_residual_one_step(car_problem):
     # lane-change tracking: y reaches the 11.0 plateau and returns
     y = X[:, 0, 1]
     assert y.max() > 10.0 and abs(y[-1] - 1.95) < 2.0
-    # linearization consistency at the tol-converged iterate: the fixed-
-    # point defect is bounded by the final relative step (~1e-4 · ||X||)
-    assert _dyn_residual(env, spec, data, X, U) < 0.02
+    # linearization consistency at the tol-converged iterate: the stall-
+    # damped solve lands on a genuine SQP fixed point — measured defect
+    # 8.4e-9 on the f64 CPU mesh (the step-size convergence test at
+    # tol_nlp=1e-4 UNDERSTATES the iterate's quality; the quadratic
+    # local rate collapses the defect far below the last step size).
+    # 1e-6 leaves >100x headroom for BLAS/XLA version drift.
+    assert _dyn_residual(env, spec, data, X, U) < 1e-6
 
 
 def test_car_residual_fixed_point_with_stronger_damping(car_problem):
