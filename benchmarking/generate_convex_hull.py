@@ -23,11 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def stage_hulls(trajs: np.ndarray, dims=(0, 1)):
     """Per-stage hull vertices.
 
+    Non-finite realizations (f32 rollouts can lose ~1 in 4000 marginally
+    stable samples to divergence, BENCH_NOTES "f32 status") are dropped
+    from EVERY stage with a visible count — a NaN row would otherwise
+    poison the QHull call silently.
+
     Args:
         trajs: (n_total, T+1, nx) stacked realizations.
     Returns:
         list of (n_vertices, 2) arrays, one per stage.
     """
+    alive = np.isfinite(trajs).all(axis=(1, 2))
+    if not alive.all():
+        print(f"# dropping {int((~alive).sum())}/{len(alive)} non-finite "
+              "realizations from the hulls")
+        trajs = trajs[alive]
     hulls = []
     for k in range(trajs.shape[1]):
         pts = trajs[:, k][:, list(dims)]

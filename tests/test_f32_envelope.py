@@ -81,6 +81,41 @@ def test_f32_fs_rollout_envelope_vs_f64():
 
 
 @pytest.mark.slow
+def test_f32_fs_divergence_fraction_at_bench_shape():
+    """Pin the f32 divergence rate at the FULL bench shape (ns=4000, 50
+    steps — the published forward-sampling scale): marginally stable
+    sampled-dynamics realizations amplify the f32 jitter-floor noise and
+    ~1 in 4000 can blow up (bench.py reports fs_nan_frac ~ 5e-6, i.e. ONE
+    realization; the reference runs this workload in torch f64 where the
+    noise floor is 1e-14).  The pin: at most 4/4000 realizations per
+    rollout lose finiteness, and every surviving realization stays inside
+    the state box + margin.  Downstream aggregation drops non-finite
+    realizations visibly (benchmarking/generate_convex_hull.py)."""
+    params, spec, data = load_problem(
+        os.path.join(_pdir(), "params_car_residual_fs.yaml"))
+    ns, T = 4000, 50
+    spec = dataclasses.replace(spec, ns=ns)
+    params["agent"]["num_dyn_samples"] = ns
+    env = make_env(spec, params)
+    dtype = jnp.float32
+    hyp = GPHyperArrays.from_spec(spec.gp, dtype)
+    gp = agent_mod.init_gp_state(spec, env, dtype, capacity=T)
+    U = jnp.zeros((T, spec.nu), dtype)
+    fb = {"K": data.K_fb, "x_eq": data.goal}
+    for r in (100, 101):                   # the bench's timed keys
+        X, _ = forward_sample_rollout(
+            spec, env, hyp, gp, jnp.asarray(data.start, dtype), U,
+            jax.random.PRNGKey(r), use_feedback=fb)
+        X = np.asarray(X)                  # (T+1, ns, nx)
+        alive = np.isfinite(X).all(axis=(0, 2))
+        assert (~alive).sum() <= 4, f"{(~alive).sum()} diverged (key {r})"
+        Xa = X[:, alive]
+        lo, hi = np.asarray(data.x_min), np.asarray(data.x_max)
+        margin = 10.0 * (hi - lo)
+        assert np.all(Xa >= lo - margin) and np.all(Xa <= hi + margin)
+
+
+@pytest.mark.slow
 def test_f32_closed_loop_tube_vs_f64_golden():
     """Full-length pendulum1D sampling closed loop in f32 (the TPU default
     dtype) against the committed f64 golden: same mission, bounded tube,
