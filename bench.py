@@ -392,7 +392,12 @@ def torch_fs_baseline_steps_per_s(psd, ns=200, steps=30):
 
 def main():
     dtype = jnp.float32
-    n_warmup, n_iter = 3, 20
+    # 100-step timing window: ONE relay dispatch costs ~26 ms in arg/result
+    # marshaling for this carry size REGARDLESS of window length (measured:
+    # stubbed-solve windows of 10/20/40/80 steps all cost ~26-31 ms), so
+    # short windows charge the relay artifact to every step — n_iter=20
+    # read ~1.5 ms/step where the device-true steady-state step is ~0.3 ms
+    n_warmup, n_iter = 3, 100
     params, spec, data, env = build({"num_mpc_iter": n_warmup + n_iter})
     profile_dir = os.environ.get("SGPMPC_PROFILE")
 
@@ -436,10 +441,10 @@ def main():
     if dev.platform != "cpu" and not os.environ.get("SGPMPC_BENCH_SKIP_512"):
         try:
             _, spec5, data5, env5 = build(
-                {"ns": 512, "num_mpc_iter": n_warmup + 5})
+                {"ns": 512, "num_mpc_iter": n_warmup + 20})
             run5, c5, e5 = setup_closed_loop_scan(spec5, data5, env5, dev,
                                                   dtype)
-            dt5 = time_closed_loop_scan(run5, c5, e5, n_warmup, n_iter=5,
+            dt5 = time_closed_loop_scan(run5, c5, e5, n_warmup, n_iter=20,
                                         reps=2)
             ns512["v"] = 1.0 / dt5
             run5c, c5c, e5c = setup_closed_loop_scan(
@@ -469,9 +474,11 @@ def main():
         "metric": "sqp_solves_per_s",
         "value": round(solves_per_s, 3),
         "unit": "solves/s (ns=64, H=20, warm closed-loop GP-sampling "
-                "SQP-RTI steps: solve + plant step + shift; whole window "
-                "as one jitted lax.scan, single dispatch); cpu baseline "
-                "= min of 3 repeats of the identical jitted computation",
+                "SQP-RTI steps: solve + plant step + shift; 100-step "
+                "window as ONE jitted device loop, single dispatch — "
+                "the ~26 ms relay dispatch overhead amortizes to "
+                "~0.26 ms/step); cpu baseline = min of 3 repeats of the "
+                "identical jitted computation",
         "vs_baseline": round(vs_baseline, 3),
         "load_avg_1min": load_avg,
         "ns512_value": round(ns512["v"], 3),

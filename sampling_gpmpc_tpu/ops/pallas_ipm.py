@@ -71,7 +71,8 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # kernel iterations per invocation: every trip costs ~5 us whether live
 # or predicated off, so size chunks for the warm-start common case
 # (<= ~12 IPM iterations) and let the outer while_loop re-invoke
-CHUNK = 16
+# (SGPMPC_IPM_CHUNK overrides for chunk-size experiments)
+CHUNK = int(os.environ.get("SGPMPC_IPM_CHUNK", "16"))
 
 
 def fused_ok(nU: int, m_h: int, m_s: int, dtype) -> bool:
