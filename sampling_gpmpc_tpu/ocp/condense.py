@@ -49,6 +49,27 @@ def condense_single(A, B, r, dx0):
     return T, Gamma
 
 
+def _small_mm(A, X):
+    """``(..., n, n) @ (..., n, m)`` for tiny static n, unrolled.
+
+    Batched (2, 2)/(4, 4) matmuls map terribly onto the 128x128 MXU
+    (<= a few % utilization plus per-op padding/dispatch), and the
+    condensing compose tree is made of nothing else.  Unrolling the tiny
+    contraction turns each product into n^2 broadcast multiply-adds over
+    the big trailing axis — pure VPU work XLA fuses into a few loops.
+    Measured at the bench shape: the condensing stage drops from the
+    dominant assembly cost to noise (BENCH_NOTES round 4).
+    """
+    n = A.shape[-2]
+    rows = []
+    for i in range(n):
+        acc = A[..., i, 0, None] * X[..., 0, :]
+        for j in range(1, A.shape[-1]):
+            acc = acc + A[..., i, j, None] * X[..., j, :]
+        rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
 def condense_single_parallel(A, B, r, dx0):
     """Associative-scan condensing: O(log H) depth instead of O(H).
 
@@ -65,6 +86,11 @@ def condense_single_parallel(A, B, r, dx0):
     H, nx, nu = B.shape
     nU = H * nu
     dtype = A.dtype
+    # f32 (the TPU production path): unrolled small matmuls (see
+    # _small_mm).  f64 keeps dot_general so the committed goldens stay
+    # bitwise-stable (the unroll fixes a different fp summation order).
+    mm = _small_mm if dtype == jnp.float32 else (
+        lambda a, x: jnp.einsum("...ij,...jk->...ik", a, x))
 
     # stage map as (A_k, C_k) acting on the stacked (nx, nU+1) carry
     # [Gamma | T]:  carry' = A_k carry + C_k
@@ -79,13 +105,12 @@ def condense_single_parallel(A, B, r, dx0):
         # apply left (earlier) then right (later): x -> A_r (A_l x + C_l) + C_r
         A_l, C_l = left
         A_r, C_r = right
-        return (jnp.einsum("...ij,...jk->...ik", A_r, A_l),
-                jnp.einsum("...ij,...jk->...ik", A_r, C_l) + C_r)
+        return (mm(A_r, A_l), mm(A_r, C_l) + C_r)
 
     A_pref, C_pref = jax.lax.associative_scan(compose, (A, C), axis=0)
     carry0 = jnp.concatenate(
         [jnp.zeros((nx, nU), dtype), dx0[:, None]], axis=1)
-    tail = jnp.einsum("kij,jl->kil", A_pref, carry0) + C_pref  # (H, nx, nU+1)
+    tail = mm(A_pref, carry0[None]) + C_pref       # (H, nx, nU+1)
     full = jnp.concatenate([carry0[None], tail], axis=0)
     return full[:, :, nU], full[:, :, :nU]
 
