@@ -65,6 +65,26 @@ NS_UNROLL = bool(int(_u[0]))
 CHOL_FULL_UNROLL = bool(int(_u[1]))
 
 
+def _kernel_vmem(ns: int, Ht: int, R: int) -> int:
+    rnd = lambda x, m: -(-x // m) * m
+    Rp = rnd(R, 128)
+    Htl = rnd(Ht, 128)
+    return 4 * (ns * rnd(Ht, 8) * (2 * Rp + 2 * Htl)   # Kx, Ktt, cov, chol
+                + rnd(R, 8) * Rp                        # Linv
+                + 8 * ns * Htl)                         # row quantities
+
+
+def _ns_chunk(ns: int, Ht: int, R: int) -> int:
+    """Largest power-of-2 divisor of ns whose kernel fits VMEM_BUDGET
+    (0 if even an 8-sample chunk does not fit — large ns runs as several
+    kernel invocations over sample chunks, e.g. ns=512 at the pendulum1D
+    shape needs ~67 MB whole but fits in 4 x 128-sample calls)."""
+    c = ns
+    while c >= 8 and (ns % c or _kernel_vmem(c, Ht, R) > VMEM_BUDGET):
+        c //= 2
+    return c if c >= 8 and ns % c == 0 else 0
+
+
 def fused_ok(spec, hyp, dtype, ns: int, Ht: int, R: int) -> bool:
     """Static gate: can the fused kernel run this GP stage?"""
     if os.environ.get("SGPMPC_NO_PALLAS") or os.environ.get("SGPMPC_NO_FUSED_GP"):
@@ -81,13 +101,7 @@ def fused_ok(spec, hyp, dtype, ns: int, Ht: int, R: int) -> bool:
         return False
     if ns < 1 or Ht < 2 or R < 1:
         return False
-    rnd = lambda x, m: -(-x // m) * m
-    Rp = rnd(R, 128)
-    Htl = rnd(Ht, 128)
-    vmem = 4 * (ns * rnd(Ht, 8) * (2 * Rp + 2 * Htl)   # Kx, Ktt, cov, chol
-                + rnd(R, 8) * Rp                        # Linv
-                + 8 * ns * Htl)                         # row quantities
-    if vmem > VMEM_BUDGET:
+    if _ns_chunk(ns, Ht, R) == 0:
         return False
     if _INTERPRET:
         return True
@@ -201,6 +215,15 @@ def sample_empty_one(Kxm, Ktt, eps, Linv, alpha, prior_var,
     """
     f32 = jnp.float32
     ns, Ht, R = Kxm.shape
+    chunk = _ns_chunk(ns, Ht, R)
+    if chunk and chunk < ns:
+        # sample chunks as separate kernel invocations (VMEM-bounded);
+        # samples are independent, so this is pure batching
+        outs = [sample_empty_one(Kxm[s:s + chunk], Ktt[s:s + chunk],
+                                 eps[s:s + chunk], Linv, alpha, prior_var,
+                                 jitter, beta, var_zero, rel_floor)
+                for s in range(0, ns, chunk)]
+        return jnp.concatenate(outs, axis=0)
     kern = functools.partial(_kernel, ns=ns, Ht=Ht, jitter=float(jitter),
                              beta=float(beta), var_zero=float(var_zero),
                              rel_floor=float(rel_floor))
