@@ -68,11 +68,15 @@ VMEM_BUDGET = 24 * 1024 * 1024   # v5e has 128 MB VMEM/core; leave headroom
 # problems actually compile (measured: ns=512 bench row OOMed at 24.3 MB
 # against the 16 MB default)
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-# kernel iterations per invocation: every trip costs ~5 us whether live
-# or predicated off, so size chunks for the warm-start common case
-# (<= ~12 IPM iterations) and let the outer while_loop re-invoke
-# (SGPMPC_IPM_CHUNK overrides for chunk-size experiments)
-CHUNK = int(os.environ.get("SGPMPC_IPM_CHUNK", "16"))
+# kernel iterations per invocation: every trip costs its static time
+# whether live or predicated off, so size chunks for the warm-start
+# common case and let the outer while_loop re-invoke.  Steady-state MPC
+# QPs converge in ~1 Mehrotra iteration (delta-form SQP at the shifted
+# solution), so small chunks win there: slope-measured closed loop
+# 0.261 ms/step at 4 vs 0.313 at 16 vs 0.306 at 2, while a 37-iteration
+# cold solve pays only ~1.5 % more invocation overhead at 4.
+# (SGPMPC_IPM_CHUNK overrides for experiments)
+CHUNK = int(os.environ.get("SGPMPC_IPM_CHUNK", "4"))
 
 
 def fused_ok(nU: int, m_h: int, m_s: int, dtype) -> bool:
