@@ -60,6 +60,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sampling_gpmpc_tpu.ops.batch_linalg import _device_platform
 
+# tracing the fused kernels under an already-deep jit stack (e.g. a
+# caller-side wrapper around sqp_iteration) can exceed CPython's default
+# 1000-frame recursion limit inside jax's tracing utilities
+import sys as _sys
+
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
 LANES = 128
 _INTERPRET = False          # flipped by tests to run kernels off-TPU
 _HIGH = jax.lax.Precision.HIGHEST
