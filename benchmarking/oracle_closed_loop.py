@@ -33,6 +33,8 @@ Supported modes (the two VERDICT-requested workloads):
 from __future__ import annotations
 
 import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
 import torch
 from scipy.optimize import LinearConstraint, minimize
 
@@ -142,9 +144,9 @@ def sample_posterior(mean, cov, eps, jitter, beta, prior_var, Ty):
 # Sparse-form QP via SLSQP
 # ---------------------------------------------------------------------------
 
-def solve_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
+def build_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
                     ineq_rows, soft_rows):
-    """Solve one SQP subproblem in SPARSE form with scipy SLSQP.
+    """Assemble one SQP subproblem in SPARSE (non-condensed) form.
 
     Variables zv = [dU (H*nu); dX (ns*(H+1)*nx); sl; su].  The JAX stack
     condenses dX out analytically (ocp/condense.py) and solves a
@@ -158,6 +160,7 @@ def solve_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
         ineq_rows: list of (Gx (m, ns*(H+1)*nx), Gu (m, H*nu), lo, hi).
         soft_rows: list of (Gx, Gu, lo, hi, zl, zu, Zl, Zu) soft rows with
             acados z/Z penalties (one slack PAIR per row).
+    Returns (P, q, Aeq, beq, G, d) dense, plus the variable index map.
     """
     nU = H * nu
     nX = ns * (H + 1) * nx
@@ -236,6 +239,114 @@ def solve_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
         Sl[:, iL:n] = -np.eye(2 * m_s)
         G = np.vstack([G, Sl])
         d = np.concatenate([d, np.zeros(2 * m_s)])
+
+    return P, q, Aeq, beq, G, d, (nU, nX, iU, iX, iL, iS, n)
+
+
+def solve_qp_ipm_sparse(P, q, Aeq, beq, G, d, tol=1e-10, maxiter=60):
+    """Textbook sparse Mehrotra predictor-corrector PDIP in scipy f64.
+
+    Solves  min 1/2 z'Pz + q'z  s.t.  Aeq z = beq,  G z <= d  on the
+    NON-condensed sparse form, factoring the reduced KKT system
+    [[P + G' (Lam/S) G, Aeq'], [Aeq, 0]] with SuperLU each iteration
+    (plus two iterative-refinement passes — the 1e7 acados-penalty
+    curvature needs them) after Ruiz-style row equilibration.
+
+    Exists because scipy trust-constr goes dense on these instances:
+    at the flagship pendulum1D shape (ns=70 -> n=2677, me=2520,
+    mi=7454, 99.9 % structural zeros) it costs >500 s per QP, making
+    the 20-step golden a multi-hour run; this routine solves the same
+    instance to ~1e-9 KKT residual in seconds.  It stays numerically
+    disjoint from the JAX stack's QP path (ocp/qp.py): sparse-form
+    variables vs analytic condensing, SuperLU vs blocked
+    Cholesky/Schur, numpy f64 vs jitted f32/f64.  Agreement with
+    trust-constr on identical instances is pinned by
+    tests/test_oracle_parity.py::test_oracle_qp_solvers_agree.
+    """
+    n = len(q); mi = len(d)
+    P = sp.csc_matrix(P); Aeq = sp.csc_matrix(Aeq); G = sp.csc_matrix(G)
+
+    # row equilibration + cost scaling (same minimizer, scaled duals)
+    gn = np.sqrt(np.asarray(abs(G).multiply(abs(G)).sum(axis=1)).ravel())
+    gn = np.where(gn > 0, gn, 1.0)
+    G = sp.diags(1.0 / gn) @ G
+    d = d / gn
+    an = np.sqrt(np.asarray(abs(Aeq).multiply(abs(Aeq)).sum(axis=1)).ravel())
+    an = np.where(an > 0, an, 1.0)
+    Aeq = sp.diags(1.0 / an) @ Aeq
+    beq = beq / an
+    cs = max(1.0, np.abs(P.diagonal()).max(), np.abs(q).max())
+    P = P / cs
+    q = q / cs
+
+    GT = G.T.tocsc(); AeqT = Aeq.T.tocsc()
+    me = len(beq)
+    z = np.zeros(n); nu = np.zeros(me)
+    s = np.maximum(1.0, np.abs(d)); lam = np.ones(mi)
+    bscale = max(1.0, np.abs(q).max(), np.abs(beq).max(initial=0.0),
+                 np.abs(d).max(initial=0.0))
+    reg = 1e-11
+    Ieq = sp.identity(me, format="csc")
+
+    def kkt_solve(lu, K, rhs, passes=2):
+        x = lu.solve(rhs)
+        for _ in range(passes):
+            x += lu.solve(rhs - K @ x)
+        return x
+
+    res = np.inf
+    for it in range(maxiter):
+        r_dual = P @ z + q + AeqT @ nu + GT @ lam
+        r_eq = Aeq @ z - beq
+        r_in = G @ z + s - d
+        mu = lam @ s / mi
+        res = max(np.abs(r_dual).max(), np.abs(r_eq).max(),
+                  np.abs(r_in).max(), mu)
+        if res < tol * bscale:
+            return z, it, res
+        W = lam / s
+        K = sp.bmat([[P + GT @ sp.diags(W) @ G + reg * sp.identity(n),
+                      AeqT], [Aeq, -reg * Ieq]], format="csc")
+        lu = spla.splu(K)
+        # affine predictor (r_c = Lam S e)
+        rhs_z = -(r_dual + GT @ (W * r_in - lam))
+        sol = kkt_solve(lu, K, np.concatenate([rhs_z, -r_eq]))
+        dz_a = sol[:n]
+        ds_a = -(r_in + G @ dz_a)
+        dlam_a = -lam - W * ds_a
+        ap = min(1.0, 0.99995 * min(
+            (-s[ds_a < 0] / ds_a[ds_a < 0]).min(initial=np.inf),
+            (-lam[dlam_a < 0] / dlam_a[dlam_a < 0]).min(initial=np.inf)))
+        mu_aff = (lam + ap * dlam_a) @ (s + ap * ds_a) / mi
+        sigma = (mu_aff / mu) ** 3 if mu > 0 else 0.0
+        # corrector (r_c = Lam S e + dLam_a dS_a e - sigma mu e)
+        rc = (sigma * mu - dlam_a * ds_a) / s
+        rhs_z = -(r_dual + GT @ (W * r_in - lam + rc))
+        sol = kkt_solve(lu, K, np.concatenate([rhs_z, -r_eq]))
+        dz = sol[:n]; dnu = sol[n:]
+        ds = -(r_in + G @ dz)
+        dlam = -lam - W * ds + rc
+        a = min(1.0, 0.99995 * min(
+            (-s[ds < 0] / ds[ds < 0]).min(initial=np.inf),
+            (-lam[dlam < 0] / dlam[dlam < 0]).min(initial=np.inf)))
+        z += a * dz; nu += a * dnu; s += a * ds; lam += a * dlam
+    return z, maxiter, res
+
+
+def solve_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
+                    ineq_rows, soft_rows):
+    """Solve one SQP subproblem in SPARSE form (scipy trust-constr, or
+    the sparse PDIP above once trust-constr's dense algebra would make
+    the instance intractable)."""
+    P, q, Aeq, beq, G, d, idx = build_sparse_qp(
+        ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu, ineq_rows, soft_rows)
+    nU, nX, iU, iX, iL, iS, n = idx
+
+    if n > 1500:
+        zv, n_it, res = solve_qp_ipm_sparse(P, q, Aeq, beq, G, d)
+        if res > 1e-7:
+            raise RuntimeError(f"oracle sparse IPM stalled: res={res}")
+        return zv[:nU].reshape(H, nu), zv[iX:iX + nX].reshape(ns, H + 1, nx)
 
     # scipy trust-constr with the exact Hessian: SLSQP's quasi-Newton
     # model stalls on the 1e7-penalty curvature (measured: 5e-2 accuracy,

@@ -178,3 +178,61 @@ def test_car_residual_true_dyn_sqp_parity():
     np.testing.assert_allclose(np.asarray(sol.X)[:, 0], out["X"][:, 0],
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(sol.U), out["U"], atol=1e-3)
+
+
+def test_oracle_qp_solvers_agree():
+    """The oracle's two QP backends — scipy trust-constr (small shapes)
+    and the sparse Mehrotra PDIP (flagship shapes, where trust-constr's
+    dense algebra costs >500 s/QP) — agree on identical instances.
+
+    Uses the first SQP subproblem of the small pendulum1D sampling loop
+    (soft state rows + hard input rows + per-sample dynamics equalities,
+    the same row structure as the flagship shape).
+    """
+    import jax.numpy as jnp
+
+    from sampling_gpmpc_tpu.dempc import DEMPC
+
+    params, spec, data = load_problem(
+        os.path.join(HERE, "params", "params_pendulum1D_samples.yaml"))
+    ns, H = 5, 7
+    spec = dataclasses.replace(spec, ns=ns, H=H, num_mpc_iter=1)
+    params["agent"]["num_dyn_samples"] = ns
+    params["optimizer"]["H"] = H
+    data = make_data(params, spec)
+    env = make_env(spec, params)
+    mpc = DEMPC(params, spec, data, env, dtype=jnp.float64)
+    eps = np.asarray(mpc.epistemic)
+
+    captured = {}
+    orig = oc.build_sparse_qp
+
+    def capture(*a, **kw):
+        out = orig(*a, **kw)
+        captured["mats"] = out
+        return out
+
+    oc.build_sparse_qp = capture
+    try:
+        oc.run_pendulum1d(params, spec, data, eps, 1)
+    finally:
+        oc.build_sparse_qp = orig
+
+    P, q, Aeq, beq, G, d, idx = captured["mats"]
+    nU, nX, iU, iX, *_ = idx
+
+    zv, n_it, res = oc.solve_qp_ipm_sparse(P, q, Aeq, beq, G, d)
+    assert res < 1e-8, f"IPM stalled: res={res} after {n_it} iters"
+
+    from scipy.optimize import LinearConstraint, minimize
+    n = len(q)
+    cons = [LinearConstraint(Aeq, beq, beq),
+            LinearConstraint(G, -np.inf, d)]
+    ref = minimize(lambda z: 0.5 * z @ P @ z + q @ z, np.zeros(n),
+                   jac=lambda z: P @ z + q, hess=lambda z: P,
+                   constraints=cons, method="trust-constr",
+                   options={"gtol": 1e-12, "xtol": 1e-14, "maxiter": 500})
+    scale = max(1.0, np.abs(ref.x).max())
+    np.testing.assert_allclose(zv[:nU], ref.x[:nU], atol=1e-6 * scale)
+    np.testing.assert_allclose(zv[iX:iX + nX], ref.x[iX:iX + nX],
+                               atol=1e-6 * scale)
