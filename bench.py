@@ -77,7 +77,7 @@ if __name__ == "__main__" and os.environ.get("SGPMPC_BENCH_WORKER") != "1":
               file=sys.stderr, flush=True)
     else:
         line = _run_worker({}, float(os.environ.get("SGPMPC_BENCH_TIMEOUT",
-                                                    "900")))
+                                                    "1800")))
     if line is None:
         print("# accelerator bench hung or failed; host-CPU fallback",
               file=sys.stderr, flush=True)
@@ -303,8 +303,15 @@ def time_closed_loop_scan(run, carry0, eps, n_warmup=3, n_iter=20,
     return best
 
 
+class SlopeUnstableError(RuntimeError):
+    """No positive, repeatable slope could be measured (noise-dominated
+    windows).  Callers must mark the row invalid — never print a clamped
+    stand-in value (VERDICT r4 weak #2: the old 1e-9 clamp silently
+    turned a non-positive slope into a 1e9 'solves/s' row)."""
+
+
 def time_closed_loop_slope(run, carry0, eps, n_warmup=3, n_small=20,
-                           n_large=100, reps=3):
+                           n_large=100, reps=3, max_tries=4):
     """Device-true per-step time as the SLOPE between two window lengths.
 
     One jitted-window dispatch costs a CONSTANT ~26 ms in relay arg/result
@@ -315,6 +322,14 @@ def time_closed_loop_slope(run, carry0, eps, n_warmup=3, n_small=20,
     exactly: the slope is the marginal cost of an MPC step — what local
     (non-tunneled) hardware pays.  Returns ``(dt_step, dispatch_s)``:
     marginal seconds/step and the estimated per-dispatch constant.
+
+    Noise guards (VERDICT r4 #2): a two-window measurement is accepted
+    only when ``t_large > t_small``; the measurement is repeated until
+    two consecutive slopes agree within 20 % (their mean is returned).
+    If no two agree within ``max_tries`` attempts the median of the
+    positive slopes is returned with a stderr note; if NO positive slope
+    was seen at all, :class:`SlopeUnstableError` is raised instead of
+    fabricating a number.
     """
     carry = carry0
     for s in range(0, max(n_warmup, 1), n_large):
@@ -336,9 +351,27 @@ def time_closed_loop_slope(run, carry0, eps, n_warmup=3, n_small=20,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small, t_large = window(n_small), window(n_large)
-    dt = max((t_large - t_small) / (n_large - n_small), 1e-9)
-    dispatch = max(t_small - n_small * dt, 0.0)
+    slopes = []
+    for _ in range(max_tries):
+        t_small, t_large = window(n_small), window(n_large)
+        if t_large <= t_small:
+            continue
+        dt = (t_large - t_small) / (n_large - n_small)
+        slopes.append((dt, max(t_small - n_small * dt, 0.0)))
+        if len(slopes) >= 2:
+            a, b = slopes[-2][0], slopes[-1][0]
+            if abs(a - b) <= 0.2 * max(a, b):
+                return ((a + b) / 2.0,
+                        (slopes[-2][1] + slopes[-1][1]) / 2.0)
+    if not slopes:
+        raise SlopeUnstableError(
+            f"no positive slope in {max_tries} tries "
+            f"(windows {n_small}/{n_large}, reps {reps})")
+    slopes.sort()
+    dt, dispatch = slopes[len(slopes) // 2]
+    print(f"# slope noisy: {len(slopes)} positive measurements did not "
+          f"pairwise agree within 20%; reporting the median "
+          f"{dt * 1e3:.3f} ms/step", file=sys.stderr, flush=True)
     return dt, dispatch
 
 
@@ -358,6 +391,67 @@ def time_solve(fn, args, n_warmup=2, n_iter=20):
     out.X.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iter
     return dt
+
+
+def build_car(spec_overrides=None):
+    """The multi-SQP-iteration car workload (VERDICT r4 #3): ns=20, H=15,
+    max_sqp_iter=4 per MPC step (ref: params/params_car.yaml optimizer) —
+    iterations >= 1 run the hallucination-block GP path, the op-chain the
+    empty-hall Pallas fusion does NOT cover."""
+    from sampling_gpmpc_tpu.config import load_problem, make_data
+    from sampling_gpmpc_tpu.envs import make_env
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    params, spec, data = load_problem(
+        os.path.join(here, "params", "params_car.yaml"))
+    over = dict(num_mpc_iter=103)
+    over.update(spec_overrides or {})
+    spec = dataclasses.replace(spec, **over)
+    params["agent"]["num_dyn_samples"] = spec.ns
+    params["optimizer"]["H"] = spec.H
+    data = make_data(params, spec)
+    env = make_env(spec, params)
+    return params, spec, data, env
+
+
+def fused_equiv_check(spec, data, env, dev, dtype):
+    """On-chip fused-vs-XLA equivalence (VERDICT r4 #4).
+
+    The suite's Pallas tests run the kernels in interpret mode (CPU), so
+    Mosaic lowering bugs would pass the suite and ship.  Here the SAME
+    full SQP solve runs three times on the real device — (a) fused GP +
+    fused IPM, (b) XLA GP + fused IPM, (c) all-XLA — and the control/
+    state outputs are differenced to attribute any disagreement to the
+    fused GP stage ((a) vs (b)) or the fused IPM ((b) vs (c)).  The gates
+    read SGPMPC_NO_FUSED_* at trace time, so toggling the env between
+    fresh jits selects the path.
+    Returns {"gp": maxdiff, "ipm": maxdiff} in units of the solution.
+    """
+    import numpy as np
+
+    def solve_once(no_gp, no_ipm):
+        saved = {k: os.environ.pop(k, None)
+                 for k in ("SGPMPC_NO_FUSED_GP", "SGPMPC_NO_FUSED_IPM")}
+        try:
+            if no_gp:
+                os.environ["SGPMPC_NO_FUSED_GP"] = "1"
+            if no_ipm:
+                os.environ["SGPMPC_NO_FUSED_IPM"] = "1"
+            fn, args = setup_solve(spec, data, env, dev, dtype)
+            out = fn(*args)
+            return (np.asarray(out.X), np.asarray(out.U))
+        finally:
+            for k, v in saved.items():
+                os.environ.pop(k, None)
+                if v is not None:
+                    os.environ[k] = v
+
+    X_a, U_a = solve_once(False, False)
+    X_b, U_b = solve_once(True, False)
+    X_c, U_c = solve_once(True, True)
+    d = lambda p, q: float(np.max(np.abs(p - q)))
+    return {"gp": max(d(X_a, X_b), d(U_a, U_b)),
+            "ipm": max(d(X_b, X_c), d(U_b, U_c))}
 
 
 def setup_fs_rollout(device, dtype, ns=4000, steps=50):
@@ -446,8 +540,18 @@ def main():
 
     dev = jax.devices()[0]
     run, carry0, eps = setup_closed_loop_scan(spec, data, env, dev, dtype)
-    dt_dev, dispatch_s = time_closed_loop_slope(
-        run, carry0, eps, n_warmup, n_small=20, n_large=n_iter)
+    notes = []
+    try:
+        dt_dev, dispatch_s = time_closed_loop_slope(
+            run, carry0, eps, n_warmup, n_small=20, n_large=n_iter)
+    except SlopeUnstableError as e:
+        # conservative fallback: the dispatch-INCLUSIVE window rate (a
+        # strict lower bound on the device rate) — never a fabricated
+        # slope (VERDICT r4 #2)
+        notes.append(f"headline slope unmeasurable ({e}); reported the "
+                     "dispatch-inclusive window rate, a lower bound")
+        dt_dev = time_closed_loop_scan(run, carry0, eps, n_warmup, n_iter)
+        dispatch_s = 0.0
     if profile_dir:
         # one traced window for jax.profiler / xprof (SURVEY §5 tracing)
         with jax.profiler.trace(profile_dir):
@@ -456,50 +560,106 @@ def main():
         print(f"# trace written to {profile_dir}", file=sys.stderr)
     solves_per_s = 1.0 / dt_dev
 
-    # host-CPU baseline of the identical computation (same two-window
-    # slope; CPU dispatch overhead is ~0 so the slope matches a direct
-    # measurement).  Contention guard (VERDICT r2 weak #2: a loaded box
-    # inflates dt_cpu and with it vs_baseline): take the FASTEST of the
-    # timing repeats — the minimum is the least-contended estimate, i.e.
-    # the most conservative speedup — and record the 1-min load average.
-    vs_baseline = 1.0
+    # Contention accounting (VERDICT r4 #2): the CPU baselines run
+    # in-process, so external load slows THEM while the (exclusive)
+    # accelerator is unaffected — a loaded box inflates every
+    # *_vs_baseline ratio.  Ratios are ANNULLED (reported as 0.0 with an
+    # explicit note) when the 1-min load average exceeds half the core
+    # count; the device-rate rows stay valid either way.
     try:
         load_avg = round(os.getloadavg()[0], 2)
     except OSError:
         load_avg = -1.0
-    if dev.platform != "cpu":
+    load_limit = max(4.0, 0.5 * (os.cpu_count() or 8))
+    contended = load_avg > load_limit
+    if contended:
+        notes.append(
+            f"load_avg {load_avg} > {load_limit:.0f}: in-process CPU "
+            "baselines unreliable; all *_vs_baseline ratios annulled (0.0)")
+
+    # host-CPU baseline of the identical computation, SAME 20/100 window
+    # structure as the device measurement (VERDICT r4 #6: the previous
+    # 1/4-step CPU windows measured a different warm regime), fastest of
+    # 2 repeats.
+    vs_baseline = 1.0
+    if dev.platform != "cpu" and not contended:
         try:
             cpu = jax.devices("cpu")[0]
             run_c, carry_c, eps_c = setup_closed_loop_scan(
                 spec, data, env, cpu, dtype)
             dt_cpu, _ = time_closed_loop_slope(
-                run_c, carry_c, eps_c, n_warmup, n_small=1, n_large=4,
-                reps=3)
+                run_c, carry_c, eps_c, n_warmup, n_small=20,
+                n_large=n_iter, reps=2)
             vs_baseline = dt_cpu / dt_dev
         except Exception as e:  # noqa: BLE001
             print(f"# cpu baseline failed: {e}", file=sys.stderr)
+            vs_baseline = 0.0
+            notes.append(f"cpu baseline failed ({e}); vs_baseline 0.0")
+    elif contended:
+        vs_baseline = 0.0
 
     # large-ns headline row (VERDICT r3 #6): the method's published scale
     # is ns=500-4000 (params_pendulum_samples ns=500, fs ns=4000); report
     # the same warm closed-loop metric at ns=512 where per-sample cost
-    # amortizes the dispatch floor
+    # amortizes the dispatch floor.  20/80-step windows: the previous
+    # 5/20-step windows sat inside the slope method's own noise floor
+    # (214 vs 787 solves/s across runs, VERDICT r4 #2); at ~1.3-5 ms/step
+    # the 60-step difference is 80-300 ms >> timer noise.
     ns512 = {"v": 0.0, "vs": 0.0}
     if dev.platform != "cpu" and not os.environ.get("SGPMPC_BENCH_SKIP_512"):
         try:
             _, spec5, data5, env5 = build(
-                {"ns": 512, "num_mpc_iter": n_warmup + 20})
+                {"ns": 512, "num_mpc_iter": n_warmup + 80})
             run5, c5, e5 = setup_closed_loop_scan(spec5, data5, env5, dev,
                                                   dtype)
             dt5, _ = time_closed_loop_slope(run5, c5, e5, n_warmup,
-                                            n_small=5, n_large=20, reps=2)
+                                            n_small=20, n_large=80, reps=3)
             ns512["v"] = 1.0 / dt5
-            run5c, c5c, e5c = setup_closed_loop_scan(
-                spec5, data5, env5, jax.devices("cpu")[0], dtype)
-            dt5c, _ = time_closed_loop_slope(run5c, c5c, e5c, n_warmup,
-                                             n_small=1, n_large=3, reps=2)
-            ns512["vs"] = dt5c / dt5
+            if not contended:
+                run5c, c5c, e5c = setup_closed_loop_scan(
+                    spec5, data5, env5, jax.devices("cpu")[0], dtype)
+                dt5c, _ = time_closed_loop_slope(
+                    run5c, c5c, e5c, n_warmup, n_small=20, n_large=40,
+                    reps=2)
+                ns512["vs"] = dt5c / dt5
+        except SlopeUnstableError as e:
+            notes.append(f"ns=512 slope unmeasurable ({e}); row 0.0")
         except Exception as e:  # noqa: BLE001
             print(f"# ns=512 bench failed: {e}", file=sys.stderr)
+
+    # multi-SQP-iteration car closed loop (VERDICT r4 #3): ns=20, H=15,
+    # 4 SQP iterations per MPC step — iterations >= 1 exercise the
+    # hallucination-block GP path on the chip
+    car = {"v": 0.0, "vs": 0.0}
+    if dev.platform != "cpu" and not os.environ.get("SGPMPC_BENCH_SKIP_CAR"):
+        try:
+            _, specc, datac, envc = build_car()
+            runc, cc, ec = setup_closed_loop_scan(specc, datac, envc, dev,
+                                                  dtype)
+            dtc, _ = time_closed_loop_slope(runc, cc, ec, n_warmup,
+                                            n_small=20, n_large=80, reps=3)
+            car["v"] = 1.0 / dtc
+            if not contended:
+                runcc, ccc, ecc = setup_closed_loop_scan(
+                    specc, datac, envc, jax.devices("cpu")[0], dtype)
+                dtcc, _ = time_closed_loop_slope(
+                    runcc, ccc, ecc, n_warmup, n_small=20, n_large=40,
+                    reps=2)
+                car["vs"] = dtcc / dtc
+        except SlopeUnstableError as e:
+            notes.append(f"car slope unmeasurable ({e}); row 0.0")
+        except Exception as e:  # noqa: BLE001
+            print(f"# car bench failed: {e}", file=sys.stderr)
+
+    # on-chip fused-vs-XLA equivalence (VERDICT r4 #4); skipped off-TPU
+    # (the fused paths are TPU-gated, the diffs would be trivially 0)
+    equiv = {"gp": -1.0, "ipm": -1.0}
+    if dev.platform != "cpu" and not os.environ.get("SGPMPC_BENCH_SKIP_EQUIV"):
+        try:
+            equiv = fused_equiv_check(spec, data, env, dev, dtype)
+        except Exception as e:  # noqa: BLE001
+            print(f"# fused equivalence check failed: {e}", file=sys.stderr)
+            notes.append(f"fused equivalence check failed: {e}")
 
     # second BASELINE metric: GP-sample rollouts/s/chip (fs reachability)
     fs_steps_per_s = 0.0
@@ -533,6 +693,17 @@ def main():
         "ns512_vs_baseline": round(ns512["vs"], 3),
         "ns512_unit": "solves/s, same warm closed-loop metric at ns=512 "
                       "(the method's published sample scale)",
+        "car_value": round(car["v"], 3),
+        "car_vs_baseline": round(car["vs"], 3),
+        "car_unit": "solves/s, params_car closed loop (ns=20, H=15, 4 SQP "
+                    "iters/step: iterations >= 1 run the hallucination-"
+                    "block GP path)",
+        "fused_gp_vs_xla_maxdiff": round(equiv["gp"], 8),
+        "fused_ipm_vs_xla_maxdiff": round(equiv["ipm"], 8),
+        "equiv_unit": "on-chip max |solution diff| of the SAME solve with "
+                      "the fused Pallas stage swapped for its XLA twin "
+                      "(-1.0 = not run)",
+        "notes": notes,
         "fs_metric": "gp_sample_rollout_steps_per_s",
         "fs_value": round(fs_steps_per_s, 1),
         "fs_unit": "sampled steps/s (ns=4000 GP realizations x 50 steps, "
