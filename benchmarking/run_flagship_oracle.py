@@ -63,6 +63,7 @@ def pendulum(ns=70, H=17, n_steps=20):
         os.path.join(OUT, "oracle_pendulum1d_flagship.npz"),
         eps=eps, physical_state_traj=out["physical_state_traj"],
         u0_traj=out["u0_traj"], final_state=out["final_state"],
+        plan_X_traj=out["plan_X_traj"], plan_U_traj=out["plan_U_traj"],
         ns=ns, H=H, n_steps=n_steps)
 
 

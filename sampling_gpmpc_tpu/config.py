@@ -89,6 +89,11 @@ class ProblemSpec:
     # GP
     gp: GPHyper
     seed: int
+    # QP exit tolerance override (<= 0: dtype default, 1e-8 f64 / 3e-5 f32).
+    # Parity tests tighten this: the condensed 1e7-penalty curvature leaves
+    # O(res/sigma_min) solution error along low-curvature input directions,
+    # so a 1e-8 exit still moves dU by ~1e-4 vs an independent solver.
+    qp_tol: float = -1.0
 
     @property
     def n_gp_inputs(self) -> int:

@@ -211,6 +211,7 @@ def sqp_iteration(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
     C_h, d_h = boxes_to_rows(hard.G, hard.lo, hard.hi)
     sol = solve_qp_soft(H_U, g_U, C_h, d_h, soft.G, soft.lo, soft.hi,
                         zl, zu, Zl, Zu, axis_name=axis_name,
+                        tol=(spec.qp_tol if spec.qp_tol > 0 else None),
                         ws=qp_ws, ws_valid=qp_valid, ordered=ordered)
 
     dU = sol.z[:H * nu]

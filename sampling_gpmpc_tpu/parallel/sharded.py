@@ -153,6 +153,76 @@ def make_blocked_solve(spec: ProblemSpec, env, hyp, ocp, n_blocks: int,
     return jax.jit(blocked)
 
 
+def make_sharded_closed_loop(spec: ProblemSpec, env, hyp, ocp, mesh: Mesh,
+                             axis: str = "ns", ordered: bool = False):
+    """W-step receding-horizon closed loop as ONE sharded program.
+
+    What deployment would run on a pod: per MPC step a sample-sharded
+    SQP solve (hallucination reset at solve entry, QP dual warm start
+    carried across steps), ancillary feedback on u0, the plant step, and
+    the warm-start shift — all inside a single ``lax.fori_loop`` under
+    ``shard_map``, so the whole window is one XLA computation per chip
+    with only the per-iteration collectives of the solve crossing ICI
+    (ref loop: src/DEMPC.py:39-80; warm-start semantics:
+    src/solver.py:174-189, src/utils/ocp.py:310).
+
+    Args (to the returned callable):
+        x0: (nx,) initial physical state; X0, U0: initial iterate;
+        gp0: GPState; eps_all: (W, max_sqp, ns, g_ny, H, Ty) draws.
+    Returns the final ``(x, X, U, gp)`` carry after W steps.
+    """
+    import jax.numpy as jnp
+
+    from sampling_gpmpc_tpu.dempc import shift_solution
+
+    n_dev = mesh.shape[axis]
+    assert spec.ns % n_dev == 0
+    local_spec = dataclasses.replace(spec, ns=spec.ns // n_dev)
+
+    gp_spec = GPState(real_Z=P(), real_Y=P(),
+                      real_fact={"L": P(), "w": P(), "mask": P(),
+                                 "Linv": P(), "alpha": P()},
+                      hall_Z=P(axis), hall_Y=P(axis), hall_n=P())
+    ocp_specs = type(ocp)(*([P()] * len(ocp)))._replace(w_cost=P(axis))
+
+    def body(x0, X0, U0, gp0, eps_all, ocp_l):
+        W = eps_all.shape[0]
+
+        def step(k, c):
+            x, X, U, gp, ws, wv = c
+            eps_m = jax.lax.dynamic_index_in_dim(eps_all, k, keepdims=False)
+            st = sqp.solve(local_spec, env, hyp, ocp_l, x, X, U, gp, eps_m,
+                           axis_name=axis, qp_ws=ws, qp_valid=wv,
+                           ordered=ordered)
+            X, U = st.X, st.U
+            u0 = U[0]
+            if local_spec.use_feedback:
+                u0 = u0 - (ocp_l.x_eq - X[0, 0]) @ ocp_l.K_fb.T
+            x_next = env.discrete_dyn(X[0, 0], u0).reshape(-1)
+            if local_spec.shift_soln:
+                X, U = shift_solution(local_spec, X, U)
+            return x_next, X, U, st.gp, st.qp_ws, st.qp_valid
+
+        ws0 = sqp.init_qp_ws(local_spec, X0.dtype)
+        c = jax.lax.fori_loop(
+            0, W, step, (x0, X0, U0, gp0, ws0, jnp.asarray(False)))
+        return c[0], c[1], c[2], c[3]
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P(), gp_spec,
+                  P(None, None, axis), ocp_specs),
+        out_specs=(P(), P(None, axis), P(), gp_spec),
+    )
+    try:
+        mapped = shard_map(body, check_vma=False, **kwargs)
+    except TypeError:
+        mapped = shard_map(body, check_rep=False, **kwargs)
+    jitted = jax.jit(mapped)
+    return lambda x0, X0, U0, gp0, eps_all: jitted(
+        x0, X0, U0, gp0, eps_all, ocp)
+
+
 def make_sharded_rollout(spec: ProblemSpec, env, hyp, mesh: Mesh,
                          axis: str = "ns", use_feedback=None):
     """ns-sharded forward-sampling reachability rollout.
