@@ -454,6 +454,88 @@ def fused_equiv_check(spec, data, env, dev, dtype):
             "ipm": max(d(X_b, X_c), d(U_b, U_c))}
 
 
+def fused_hall_equiv_check(dev, dtype):
+    """On-chip fused-vs-XLA check for the HALL-BLOCK GP kernel.
+
+    Compares the iteration-1 GP function-samples of the car workload at
+    IDENTICAL inputs (warm iterate from a full XLA 2-iter solve; hall
+    buffer filled by a real iteration-0 append) between the fused
+    Pallas path and the XLA twin, against the TUBE criterion: every
+    fused sample must lie within the twin's mu +/- beta*(sigma +
+    sigma_noise), where sigma_noise = sqrt(NOISE_REL * prior_var) is
+    the f32 posterior-variance cancellation floor.  Raw max |dg diff|
+    is reported too, but it is NOT a defect metric: at near-
+    deterministic points both paths compute variance at the same
+    ~1e-4*prior noise floor with different roundoff, so one path floors
+    a sample to the mean while the other keeps a beta*sigma_noise
+    deviation (measured 2.3e-2 on the car shapes) — the same f32 class
+    the suite's tube tests pin (tests/test_f32_envelope.py).
+    Returns {"dg": raw maxdiff, "viol": tube violation (0 = pass)}.
+    """
+    import numpy as np
+
+    from sampling_gpmpc_tpu import agent as agent_mod
+    from sampling_gpmpc_tpu.gp import exact
+    from sampling_gpmpc_tpu.gp.exact import GPHyperArrays
+    from sampling_gpmpc_tpu.ocp import sqp
+    from sampling_gpmpc_tpu.ocp.spec import make_ocp_data
+
+    NOISE_REL = 1e-3
+    _, spec, data, env = build_car({"max_sqp_iter": 2})
+    ocp = make_ocp_data(spec, data, dtype)
+    hyp = GPHyperArrays.from_spec(spec.gp, dtype)
+    gp = agent_mod.init_gp_state(spec, env, dtype)
+    X, U = sqp.init_iterate(spec, dtype, data.start)
+    eps = agent_mod.make_epistemic(jax.random.PRNGKey(spec.seed), spec,
+                                   dtype)
+    st = jnp.asarray(data.start, dtype)
+
+    saved = os.environ.pop("SGPMPC_NO_FUSED_GP", None)
+    try:
+        os.environ["SGPMPC_NO_FUSED_GP"] = "1"
+        with jax.default_device(dev):
+            warm = jax.jit(lambda X, U, gp: sqp.solve(
+                spec, env, hyp, ocp, st, X, U, gp, eps[0]))(X, U, gp)
+            X1, U1 = warm.X, warm.U
+            xu = sqp._linearization_inputs(spec, ocp, X1, U1)
+            Xt = xu[..., jnp.asarray(spec.g_idx_inputs)]
+            _, gp_f = jax.jit(lambda gp: agent_mod.sample_dynamics(
+                spec, env, hyp, gp, Xt, eps[1][0], hall_empty=True))(
+                agent_mod.reset_hall(gp))
+            Xt1 = Xt + 0.01 * jax.random.normal(jax.random.PRNGKey(5),
+                                                Xt.shape, dtype)
+            dg_x = np.asarray(jax.jit(
+                lambda gp: agent_mod.sample_dynamics(
+                    spec, env, hyp, gp, Xt1, eps[1][1],
+                    hall_empty=False))(gp_f)[0])
+            mean, cov = jax.jit(
+                lambda gp: agent_mod._batched_posterior_incremental(
+                    spec, hyp, gp, Xt1))(gp_f)
+        os.environ.pop("SGPMPC_NO_FUSED_GP", None)
+        with jax.default_device(dev):
+            dg_p = np.asarray(jax.jit(
+                lambda gp: agent_mod.sample_dynamics(
+                    spec, env, hyp, gp, Xt1, eps[1][1],
+                    hall_empty=False))(gp_f)[0])
+    finally:
+        os.environ.pop("SGPMPC_NO_FUSED_GP", None)
+        if saved is not None:
+            os.environ["SGPMPC_NO_FUSED_GP"] = saved
+
+    shape = (spec.ns, spec.g_ny, spec.H, spec.Ty)
+    mu = np.asarray(mean).reshape(shape)
+    var = np.clip(np.asarray(jnp.diagonal(cov, axis1=-2, axis2=-1)),
+                  0, None).reshape(shape)
+    pv = np.stack([np.asarray(exact.prior_task_variances(
+        hyp.lengthscale[j], hyp.outputscale[j], spec.Ty))
+        for j in range(spec.g_ny)])                    # (g_ny, Ty)
+    sigma_n = np.sqrt(NOISE_REL * pv)[None, :, None, :]
+    bound = spec.gp.beta * (np.sqrt(var) + sigma_n)
+    viol = np.maximum(np.abs(dg_p - mu) - bound, 0.0)
+    return {"dg": float(np.abs(dg_p - dg_x).max()),
+            "viol": float(viol.max())}
+
+
 def setup_fs_rollout(device, dtype, ns=4000, steps=50):
     """Second BASELINE metric: GP-sample rollouts/s/chip on the
     forward-sampling reachability workload (ns GP function realizations,
@@ -653,13 +735,25 @@ def main():
 
     # on-chip fused-vs-XLA equivalence (VERDICT r4 #4); skipped off-TPU
     # (the fused paths are TPU-gated, the diffs would be trivially 0)
-    equiv = {"gp": -1.0, "ipm": -1.0}
+    equiv = {"gp": -1.0, "ipm": -1.0, "hall": -1.0, "hall_viol": -1.0}
     if dev.platform != "cpu" and not os.environ.get("SGPMPC_BENCH_SKIP_EQUIV"):
         try:
-            equiv = fused_equiv_check(spec, data, env, dev, dtype)
+            equiv.update(fused_equiv_check(spec, data, env, dev, dtype))
         except Exception as e:  # noqa: BLE001
             print(f"# fused equivalence check failed: {e}", file=sys.stderr)
             notes.append(f"fused equivalence check failed: {e}")
+        try:
+            h = fused_hall_equiv_check(dev, dtype)
+            equiv["hall"] = h["dg"]
+            equiv["hall_viol"] = h["viol"]
+            if h["viol"] > 0.0:
+                notes.append(
+                    f"fused hall kernel exceeded the noise-floor tube by "
+                    f"{h['viol']:.2e}")
+        except Exception as e:  # noqa: BLE001
+            print(f"# fused hall equivalence check failed: {e}",
+                  file=sys.stderr)
+            notes.append(f"fused hall equivalence check failed: {e}")
 
     # second BASELINE metric: GP-sample rollouts/s/chip (fs reachability)
     fs_steps_per_s = 0.0
@@ -700,6 +794,8 @@ def main():
                     "block GP path)",
         "fused_gp_vs_xla_maxdiff": round(equiv["gp"], 8),
         "fused_ipm_vs_xla_maxdiff": round(equiv["ipm"], 8),
+        "fused_hall_gp_vs_xla_maxdiff": round(equiv["hall"], 8),
+        "fused_hall_tube_violation": round(equiv["hall_viol"], 8),
         "equiv_unit": "on-chip max |solution diff| of the SAME solve with "
                       "the fused Pallas stage swapped for its XLA twin "
                       "(-1.0 = not run)",

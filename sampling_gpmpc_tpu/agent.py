@@ -210,6 +210,61 @@ def _fused_sample_empty(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
     return jnp.stack(dgs, axis=1)                       # (ns, g_ny, H, Ty)
 
 
+def _fused_sample_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
+                       Xt, eps):
+    """Hall-block GP stage via the fused Pallas kernel (iterations >= 1).
+
+    XLA evaluates the kernel-matrix blocks and masks (a few large fused
+    elementwise ops); the kernel runs the block-Cholesky pieces, the
+    batched Schur factorization, the per-sample substitutions, the
+    covariance Cholesky, the pathwise draw and the override tail in one
+    launch per output (ops/pallas_gp.py::_hall_kernel) — replacing the
+    ~70-op XLA chain measured at 8.6 ms of the 26 ms car SQP step
+    (profiling/car_stage_probe.py; ref role: src/GP_model.py:50-91 +
+    src/agent.py:216-272 rebuild-and-sample each SQP iteration).
+    """
+    from sampling_gpmpc_tpu.gp.kernel import kernel_matrix
+    from sampling_gpmpc_tpu.ops import pallas_gp
+
+    wg = spec.use_derivatives
+    H, Ty = spec.H, spec.Ty
+    Rr = gp.real_fact["mask"].shape[-1]
+    Mh = gp.hall_Z.shape[2]
+    Rh = Mh * Ty
+    j0 = max(hyp.jitter, 1e-6)
+    eyeRh = jnp.eye(Rh, dtype=Xt.dtype)
+    noise_tile = jnp.tile(hyp.noise_diag, Mh)
+    dgs = []
+    for j in range(spec.g_ny):
+        ls = hyp.lengthscale[j]
+        os_ = hyp.outputscale[j]
+        m_r = gp.real_fact["mask"][j]
+        Zh = gp.hall_Z[:, j]                           # (ns, Mh, D)
+        yh_flat = gp.hall_Y[:, j].reshape(spec.ns, Rh)
+        m_h = (~jnp.isnan(yh_flat)).astype(Xt.dtype)
+        yh = jnp.nan_to_num(yh_flat) * m_h
+        ev1 = jax.vmap(lambda Zh1, ls=ls, os_=os_: kernel_matrix(
+            jnp.concatenate([gp.real_Z, Zh1], axis=0), Zh1, ls, os_, wg))(Zh)
+        Arh = ev1[:, :Rr] * m_r[None, :, None] * m_h[:, None, :]
+        Khh = ev1[:, Rr:] + jnp.diag(noise_tile)[None]
+        Ahh = (m_h[:, :, None] * Khh * m_h[:, None, :]
+               + eyeRh[None] * (1.0 - m_h)[:, None, :])
+        ev2 = jax.vmap(lambda Xt1, Zh1, ls=ls, os_=os_: kernel_matrix(
+            Xt1, jnp.concatenate([gp.real_Z, Zh1, Xt1], axis=0),
+            ls, os_, wg))(Xt, Zh)
+        Kxr = ev2[..., :Rr] * m_r[None, None, :]
+        Kxh = ev2[..., Rr:Rr + Rh] * m_h[:, None, :]
+        Ktt = ev2[..., Rr + Rh:]
+        pv = exact.prior_task_variances(ls, os_, Ty)
+        dg_j = pallas_gp.sample_hall_one(
+            gp.hall_n * Ty, Kxr, Kxh, Ktt, Arh, Ahh, yh,
+            eps[:, j].reshape(spec.ns, H * Ty),
+            gp.real_fact["Linv"][j], gp.real_fact["w"][j],
+            jnp.tile(pv, H), j0, hyp.beta, hyp.variance_is_zero, 1e-5)
+        dgs.append(dg_j.reshape(spec.ns, H, Ty))
+    return jnp.stack(dgs, axis=1)                       # (ns, g_ny, H, Ty)
+
+
 def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                     gp: GPState, Xt: jnp.ndarray, eps: jnp.ndarray,
                     axis_name=None,
@@ -260,10 +315,20 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                  and pallas_gp.fused_ok(spec, hyp, Xt.dtype, spec.ns,
                                         H * Ty,
                                         gp.real_fact["mask"].shape[-1]))
+    use_fused_hall = (not hall_empty and not oracle_only
+                      and "Linv" in gp.real_fact
+                      and pallas_gp.fused_hall_ok(
+                          spec, hyp, Xt.dtype, spec.ns, H * Ty,
+                          gp.real_fact["mask"].shape[-1],
+                          gp.hall_Z.shape[2] * Ty))
     if use_fused:
         # fused TPU path: no (mean, cov) materialization — the gate
         # excludes every consumer of them (mean_as_dyn_sample, min-dist)
         dg = _fused_sample_empty(spec, hyp, gp, Xt, eps)
+    elif use_fused_hall:
+        # fused TPU path for SQP iterations >= 1 (hall block conditioned)
+        use_fused = True
+        dg = _fused_sample_hall(spec, hyp, gp, Xt, eps)
     elif hall_empty:
         # SQP iteration 0: buffer reset at solve entry — skip the whole
         # hall-block machinery (statically; see sqp.solve's peeled step)

@@ -198,6 +198,286 @@ def _kernel(Kx, Ktt, eps, Linv, alpha, pv, mean_o, dg_o, cov3, var_r,
     dg_o[...] = jnp.where(jnp.isfinite(y), y, mu)
 
 
+def _hall_kernel(nh_ref, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r, pv,
+                 mean_o, dg_o, S3, W3, cov3, var_r,
+                 *, ns: int, Ht: int, Rr: int, Rh: int, jitter: float,
+                 beta: float, var_zero: float, rel_floor: float):
+    """One GP output's whole HALL-BLOCK sample stage (SQP iterations >= 1).
+
+    Fused equivalent of condition_update + predict_update +
+    sample_with_overrides (gp/exact.py) for one output: per sample the
+    block-Cholesky pieces against the FIXED real factor become matmuls
+    with the precomputed ``Linv`` (C = Linv A_rh, V_r = Linv Kxr'), the
+    per-sample (Rh, Rh) Schur blocks are factorized by the batched
+    in-kernel sweep, and the per-sample triangular solves against L_s
+    run as ONE batched column-substitution sweep in the TRANSPOSED
+    layout (X = B L_s^-T), which needs no in-kernel transposes: the
+    row-major blocks Kxh_i (Ht, Rh) are already the transposed RHS.
+
+    Refs: Kxr (ns*Ht, Rr) masked; Kxh (ns*Ht, Rh) masked; Ktt
+    (ns*Ht, Ht); Arh (ns*Rr, Rh) masked; Ahh (ns*Rh, Rh) masked +
+    noise + identity-fill; yh (ns, Rh) masked targets; eps (ns, Ht);
+    Linv (Rr, Rr); w_r (1, Rr); pv (1, Ht).
+    Outputs mean_o/dg_o (ns, Ht); scratch S3 (ns, Rh, Rh),
+    W3 (ns, Ht+1, Rh), cov3 (ns, Ht, Ht), var_r (ns, Ht).
+    """
+    f32 = jnp.float32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Ht, Ht), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Ht, Ht), 1)
+    eye = jnp.where(rows == cols, 1.0, 0.0).astype(f32)
+    rowsR = jax.lax.broadcasted_iota(jnp.int32, (Rh, Rh), 0)
+    colsR = jax.lax.broadcasted_iota(jnp.int32, (Rh, Rh), 1)
+    eyeR = jnp.where(rowsR == colsR, 1.0, 0.0).astype(f32)
+
+    def dotg(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a, b, (((ca,), (cb,)), ((), ())),
+            preferred_element_type=f32, precision=_HIGH)
+
+    # ---- per-sample posterior blocks ------------------------------------
+    def post_body(i, _):
+        Kxr_i = Kxr[pl.ds(i * Ht, Ht), :]               # (Ht, Rr)
+        Kxh_i = Kxh[pl.ds(i * Ht, Ht), :]               # (Ht, Rh)
+        Ktt_i = Ktt[pl.ds(i * Ht, Ht), :]               # (Ht, Ht)
+        Arh_i = Arh[pl.ds(i * Rr, Rr), :]               # (Rr, Rh)
+        Ahh_i = Ahh[pl.ds(i * Rh, Rh), :]               # (Rh, Rh)
+        # Linv matmuls carry the same ~eps*cond(L_r) error class as the
+        # twin's f32 triangular solves; an in-kernel refinement step
+        # against L_r was measured to cost ~10% of the stage with NO
+        # observable accuracy change (the residual fused-vs-XLA noise
+        # is the variance cancellation at near-deterministic points,
+        # present on both paths — see bench.fused_hall_equiv_check)
+        Vr = dotg(Linv[...], Kxr_i, 1, 1)               # (Rr, Ht)
+        C = dotg(Linv[...], Arh_i, 1, 0)                # (Rr, Rh)
+        S3[pl.ds(i, 1), :, :] = (Ahh_i - dotg(C, C, 0, 0)
+                                 + jitter * eyeR)[None]
+        # transposed substitution RHS: rows 0..Ht-1 = Kxh_i - Vr'C,
+        # row Ht = yh_i - w_r C
+        W3[pl.ds(i, 1), pl.ds(0, Ht), :] = (
+            Kxh_i - dotg(Vr, C, 0, 0))[None]
+        W3[pl.ds(i, 1), pl.ds(Ht, 1), :] = (
+            yh[pl.ds(i, 1), :] - dotg(w_r[...], C, 1, 0))[None]
+        S = Ktt_i - dotg(Vr, Vr, 0, 0)
+        cov3[pl.ds(i, 1), :, :] = S[None]
+        mean_o[pl.ds(i, 1), :] = dotg(w_r[...], Vr, 1, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ns, post_body, 0, unroll=NS_UNROLL)
+
+    # ---- batched Cholesky of the (Rh, Rh) Schur blocks ------------------
+    rows3R = jax.lax.broadcasted_iota(jnp.int32, (ns, Rh, Rh), 1)
+    cols3R = jax.lax.broadcasted_iota(jnp.int32, (ns, Rh, Rh), 2)
+    lane3R = jax.lax.broadcasted_iota(jnp.int32, (ns, 1, Rh), 2)
+
+    def chol_stepR(j, _):
+        A = S3[...]
+        rowj = S3[:, pl.ds(j, 1), :]
+        piv = jnp.sum(jnp.where(lane3R == j, rowj, 0.0), axis=2,
+                      keepdims=True)
+        r = jax.lax.rsqrt(piv)
+        colj = jnp.sum(jnp.where(cols3R == j, A, 0.0), axis=2,
+                       keepdims=True)
+        lj = jnp.where(rows3R[:, :, :1] >= j, colj * r, 0.0)
+        f1 = jnp.where(rows3R[:, :, :1] > j, colj * r, 0.0)
+        f2 = jnp.where(cols3R[:, :1, :] > j, rowj * r, 0.0)
+        S3[...] = jnp.where(cols3R == j, lj, A - f1 * f2)
+        return 0
+
+    # DYNAMIC bound: rows/cols >= the fill count are identity rows of S
+    # (empty slots are masked to zero couplings), so their sweep steps
+    # are exact no-ops for everything the later phases read — bounding
+    # both sweeps by the fill makes iteration k cost O(k*H*Ty), not
+    # O(capacity) (the car workload fills 60/240 rows at iteration 1)
+    nh = nh_ref[0]
+    jax.lax.fori_loop(0, nh, chol_stepR, 0, unroll=1)
+
+    # ---- batched transposed substitution: W <- W L_s^-T -----------------
+    # Solving X L_s' = B column by column: X[:, j] = (B[:, j] -
+    # sum_{k<j} X[:, k] L_s[j, k]) / L_s[j, j]; columns < j of W3 are
+    # final, columns >= j still hold B, and the k<j mask excludes them.
+    cols3W = jax.lax.broadcasted_iota(jnp.int32, (ns, Ht + 1, Rh), 2)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (ns, 1, Rh), 2)
+
+    def subst_step(j, _):
+        X = W3[...]
+        Lrow = S3[:, pl.ds(j, 1), :]                    # (ns, 1, Rh)
+        piv = jnp.sum(jnp.where(laneW == j, Lrow, 0.0), axis=2,
+                      keepdims=True)                    # (ns, 1, 1)
+        lmask = jnp.where(laneW < j, Lrow, 0.0)
+        contrib = jnp.sum(X * lmask, axis=2, keepdims=True)  # (ns,Ht+1,1)
+        bj = jnp.sum(jnp.where(cols3W == j, X, 0.0), axis=2,
+                     keepdims=True)
+        newc = (bj - contrib) / piv
+        W3[...] = jnp.where(cols3W == j, newc, X)
+        return 0
+
+    jax.lax.fori_loop(0, nh, subst_step, 0, unroll=1)
+
+    # ---- fold the hall contribution into cov/mean -----------------------
+    def fold_body(i, _):
+        VhT = W3[pl.ds(i, 1), pl.ds(0, Ht), :].reshape(Ht, Rh)
+        whr = W3[pl.ds(i, 1), pl.ds(Ht, 1), :].reshape(1, Rh)
+        S = cov3[pl.ds(i, 1), :, :].reshape(Ht, Ht)
+        S = S - dotg(VhT, VhT, 1, 1) + jitter * eye
+        cov3[pl.ds(i, 1), :, :] = S[None]
+        mean_o[pl.ds(i, 1), :] = (mean_o[pl.ds(i, 1), :]
+                                  + dotg(whr, VhT, 1, 1))
+        var_r[pl.ds(i, 1), :] = (jnp.sum(S * eye, axis=0, keepdims=True)
+                                 - jitter)
+        return 0
+
+    jax.lax.fori_loop(0, ns, fold_body, 0, unroll=NS_UNROLL)
+
+    # ---- batched Cholesky of the (Ht, Ht) covariances -------------------
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (ns, Ht, Ht), 1)
+    cols3 = jax.lax.broadcasted_iota(jnp.int32, (ns, Ht, Ht), 2)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (ns, 1, Ht), 2)
+
+    def chol_step(j, _):
+        A = cov3[...]
+        rowj = cov3[:, pl.ds(j, 1), :]
+        piv = jnp.sum(jnp.where(lane3 == j, rowj, 0.0), axis=2,
+                      keepdims=True)
+        r = jax.lax.rsqrt(piv)
+        colj = jnp.sum(jnp.where(cols3 == j, A, 0.0), axis=2,
+                       keepdims=True)
+        lj = jnp.where(rows3[:, :, :1] >= j, colj * r, 0.0)
+        f1 = jnp.where(rows3[:, :, :1] > j, colj * r, 0.0)
+        f2 = jnp.where(cols3[:, :1, :] > j, rowj * r, 0.0)
+        cov3[...] = jnp.where(cols3 == j, lj, A - f1 * f2)
+        return 0
+
+    jax.lax.fori_loop(0, Ht, chol_step, 0,
+                      unroll=Ht if CHOL_FULL_UNROLL else 1)
+    cov3[...] = jnp.where(rows3 >= cols3, cov3[...], 0.0)
+
+    # ---- per-sample pathwise draw y = mean + eps L' ---------------------
+    def draw_body(i, _):
+        L_i = cov3[pl.ds(i, 1), :, :].reshape(Ht, Ht)
+        dg_o[pl.ds(i, 1), :] = dotg(eps[pl.ds(i, 1), :], L_i, 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, ns, draw_body, 0, unroll=NS_UNROLL)
+
+    # ---- override tail (identical to _kernel) ---------------------------
+    mu = mean_o[...]
+    y = mu + dg_o[...]
+    var = jnp.maximum(var_r[...], 0.0)
+    if rel_floor > 0.0:
+        var = jnp.where(var < rel_floor * pv[...], 0.0, var)
+    if var_zero >= 0.0:
+        y = jnp.where(var <= var_zero, mu, y)
+    std = jnp.sqrt(var)
+    y = jnp.clip(y, mu - beta * std, mu + beta * std)
+    dg_o[...] = jnp.where(jnp.isfinite(y), y, mu)
+
+
+def _hall_kernel_vmem(ns: int, Ht: int, Rr: int, Rh: int) -> int:
+    rnd = lambda x, m: -(-x // m) * m
+    Rrp, Rhp, Htl = rnd(Rr, 128), rnd(Rh, 128), rnd(Ht, 128)
+    return 4 * (ns * rnd(Ht, 8) * (Rrp + Rhp + Htl)      # Kxr, Kxh, Ktt
+                + ns * rnd(Rr, 8) * Rhp                  # Arh
+                + 2 * ns * rnd(Rh, 8) * Rhp              # Ahh, S3
+                + ns * rnd(Ht + 1, 8) * Rhp              # W3
+                + ns * rnd(Ht, 8) * Htl                  # cov3
+                + rnd(Rr, 8) * Rrp                       # Linv
+                + 8 * ns * Htl)                          # row quantities
+
+
+def _hall_ns_chunk(ns: int, Ht: int, Rr: int, Rh: int) -> int:
+    c = ns
+    while c >= 4 and (ns % c or _hall_kernel_vmem(c, Ht, Rr, Rh)
+                      > VMEM_BUDGET):
+        c //= 2
+    return c if c >= 4 and ns % c == 0 else 0
+
+
+def fused_hall_ok(spec, hyp, dtype, ns: int, Ht: int, Rr: int,
+                  Rh: int) -> bool:
+    """Static gate for the hall-block fused kernel (same exclusions as
+    :func:`fused_ok` plus its own VMEM sizing)."""
+    if os.environ.get("SGPMPC_NO_PALLAS") or os.environ.get("SGPMPC_NO_FUSED_GP"):
+        return False
+    if dtype != jnp.float32:
+        return False
+    if hyp.min_data_dist >= 0.0 or spec.mean_as_dyn_sample:
+        return False
+    if hyp.variance_is_zero >= 0.0 and spec.Ty > 1:
+        return False
+    if ns < 1 or Ht < 2 or Rr < 1 or Rh < 1:
+        return False
+    if _hall_ns_chunk(ns, Ht, Rr, Rh) == 0:
+        return False
+    if _INTERPRET:
+        return True
+    return _device_platform() in ("tpu", "axon")
+
+
+def sample_hall_one(nh_rows, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r,
+                    prior_var, jitter: float, beta: float,
+                    var_zero: float, rel_floor: float):
+    """Run the fused HALL-BLOCK stage for ONE GP output.
+
+    Args:
+        nh_rows: scalar int32 — FILLED hall rows (hall_n * Ty); bounds
+            the in-kernel sweeps (exact: the remaining rows are
+            identity/zero padding).
+        Kxr: (ns, Ht, Rr) masked cross-covariance to the real block.
+        Kxh: (ns, Ht, Rh) masked cross-covariance to the hall block.
+        Ktt: (ns, Ht, Ht) test-test blocks.
+        Arh: (ns, Rr, Rh) masked real-hall cross blocks.
+        Ahh: (ns, Rh, Rh) masked hall covariance (+noise, identity fill).
+        yh: (ns, Rh) masked hall targets.
+        eps: (ns, Ht) base draws.
+        Linv: (Rr, Rr) inverse Cholesky factor of the real block.
+        w_r: (Rr,) L_r^-1 y~_r.
+        prior_var: (Ht,) prior variance of each test row's task.
+    Returns:
+        (ns, Ht) sampled rows.
+    """
+    f32 = jnp.float32
+    ns, Ht, Rr = Kxr.shape
+    Rh = Kxh.shape[-1]
+    chunk = _hall_ns_chunk(ns, Ht, Rr, Rh)
+    if chunk and chunk < ns:
+        outs = [sample_hall_one(nh_rows, Kxr[s:s + chunk],
+                                Kxh[s:s + chunk],
+                                Ktt[s:s + chunk], Arh[s:s + chunk],
+                                Ahh[s:s + chunk], yh[s:s + chunk],
+                                eps[s:s + chunk], Linv, w_r,
+                                prior_var, jitter, beta, var_zero,
+                                rel_floor)
+                for s in range(0, ns, chunk)]
+        return jnp.concatenate(outs, axis=0)
+    kern = functools.partial(_hall_kernel, ns=ns, Ht=Ht, Rr=Rr, Rh=Rh,
+                             jitter=float(jitter), beta=float(beta),
+                             var_zero=float(var_zero),
+                             rel_floor=float(rel_floor))
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    mean, dg = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec()] * 10,
+        out_specs=[vspec()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ns, Ht), f32),
+                   jax.ShapeDtypeStruct((ns, Ht), f32)],
+        scratch_shapes=[pltpu.VMEM((ns, Rh, Rh), f32),
+                        pltpu.VMEM((ns, Ht + 1, Rh), f32),
+                        pltpu.VMEM((ns, Ht, Ht), f32),
+                        pltpu.VMEM((ns, Ht), f32)],
+        interpret=_INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
+    )(jnp.asarray(nh_rows, jnp.int32).reshape(1),
+      Kxr.reshape(ns * Ht, Rr).astype(f32),
+      Kxh.reshape(ns * Ht, Rh).astype(f32),
+      Ktt.reshape(ns * Ht, Ht).astype(f32),
+      Arh.reshape(ns * Rr, Rh).astype(f32),
+      Ahh.reshape(ns * Rh, Rh).astype(f32),
+      yh.astype(f32), eps.astype(f32), Linv.astype(f32),
+      w_r.reshape(1, Rr).astype(f32),
+      jnp.broadcast_to(prior_var.astype(f32)[None], (1, Ht)))
+    return dg
+
+
 def sample_empty_one(Kxm, Ktt, eps, Linv, alpha, prior_var,
                      jitter: float, beta: float, var_zero: float,
                      rel_floor: float):

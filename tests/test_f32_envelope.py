@@ -87,9 +87,12 @@ def test_f32_fs_divergence_fraction_at_bench_shape():
     sampled-dynamics realizations amplify the f32 jitter-floor noise and
     ~1 in 4000 can blow up (bench.py reports fs_nan_frac ~ 5e-6, i.e. ONE
     realization; the reference runs this workload in torch f64 where the
-    noise floor is 1e-14).  The pin: at most 4/4000 realizations per
-    rollout lose finiteness, and every surviving realization stays inside
-    the state box + margin.  Downstream aggregation drops non-finite
+    noise floor is 1e-14).  The pin: at most 1/4000 realizations per
+    rollout lose finiteness (VERDICT r4 #8 — measured EXACTLY one, the
+    same marginally-stable realization, in every bench run across
+    rounds 2-5; the survivors' envelope is tube-pinned against f64
+    above), and every surviving realization stays inside the state
+    box + margin.  Downstream aggregation drops non-finite
     realizations visibly (benchmarking/generate_convex_hull.py)."""
     params, spec, data = load_problem(
         os.path.join(_pdir(), "params_car_residual_fs.yaml"))
@@ -108,7 +111,7 @@ def test_f32_fs_divergence_fraction_at_bench_shape():
             jax.random.PRNGKey(r), use_feedback=fb)
         X = np.asarray(X)                  # (T+1, ns, nx)
         alive = np.isfinite(X).all(axis=(0, 2))
-        assert (~alive).sum() <= 4, f"{(~alive).sum()} diverged (key {r})"
+        assert (~alive).sum() <= 1, f"{(~alive).sum()} diverged (key {r})"
         Xa = X[:, alive]
         lo, hi = np.asarray(data.x_min), np.asarray(data.x_max)
         margin = 10.0 * (hi - lo)

@@ -29,7 +29,7 @@ def problem():
         os.path.abspath(__file__))), "params")
     params, spec, data = load_problem(
         os.path.join(pdir, "params_pendulum1D_samples.yaml"))
-    spec = dataclasses.replace(spec, ns=8, H=12, max_sqp_iter=1,
+    spec = dataclasses.replace(spec, ns=8, H=12, max_sqp_iter=2,
                                num_mpc_iter=1)
     params["agent"]["num_dyn_samples"] = spec.ns
     params["optimizer"]["H"] = spec.H
@@ -97,6 +97,51 @@ def test_fused_beta_clip_invariant(problem, monkeypatch):
     slack = 1e-4 * (np.abs(mean) + std + 1.0)
     assert np.all(dg <= mean + spec.gp.beta * std + slack)
     assert np.all(dg >= mean - spec.gp.beta * std - slack)
+
+
+def test_fused_hall_matches_xla_twin(problem, monkeypatch):
+    """Hall-block fused kernel (SQP iterations >= 1) vs the XLA twin
+    (condition_update + predict_update + sample_with_overrides) on a
+    PARTIALLY filled hallucination buffer — filled rows from a real
+    iteration-0 append, the rest identity/NaN padding."""
+    params, spec, env = problem
+    hyp, gp, Xt, eps = _setup(spec, env)
+
+    # fill H slots the way SQP iteration 0 does (XLA path for the fill)
+    monkeypatch.setenv("SGPMPC_NO_FUSED_GP", "1")
+    _, gp_filled = agent_mod.sample_dynamics(
+        spec, env, hyp, gp, Xt, eps, hall_empty=True)
+    assert int(gp_filled.hall_n) == spec.H
+    assert gp_filled.hall_Z.shape[2] > spec.H   # padding slots remain
+
+    # iteration-1 inputs: a perturbed iterate and fresh draws
+    Xt1 = Xt + 0.03 * jax.random.normal(jax.random.PRNGKey(11),
+                                        Xt.shape, Xt.dtype)
+    eps1 = jax.random.truncated_normal(
+        jax.random.PRNGKey(13), -spec.gp.beta, spec.gp.beta,
+        (spec.ns, spec.g_ny, spec.H, spec.Ty), jnp.float32)
+
+    dg_ref, gp_r = agent_mod.sample_dynamics(
+        spec, env, hyp, gp_filled, Xt1, eps1, hall_empty=False)
+
+    monkeypatch.delenv("SGPMPC_NO_FUSED_GP")
+    monkeypatch.setattr(pallas_gp, "_INTERPRET", True)
+    assert pallas_gp.fused_hall_ok(
+        spec, hyp, jnp.float32, spec.ns, spec.H * spec.Ty,
+        int(gp_filled.real_fact["mask"].shape[-1]),
+        int(gp_filled.hall_Z.shape[2]) * spec.Ty)
+    dg_fused, gp_f = agent_mod.sample_dynamics(
+        spec, env, hyp, gp_filled, Xt1, eps1, hall_empty=False)
+
+    dg_fused = np.asarray(dg_fused)
+    dg_ref = np.asarray(dg_ref)
+    assert np.all(np.isfinite(dg_fused))
+    scale = float(np.max(np.abs(dg_ref)) + 1e-9)
+    np.testing.assert_allclose(dg_fused, dg_ref, atol=5e-3 * scale + 5e-5)
+    # identical appends on both paths
+    np.testing.assert_allclose(np.asarray(gp_f.hall_Z),
+                               np.asarray(gp_r.hall_Z))
+    assert int(gp_f.hall_n) == int(gp_r.hall_n) == 2 * spec.H
 
 
 def test_fused_gate_excludes_unsupported(problem):
