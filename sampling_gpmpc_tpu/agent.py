@@ -179,7 +179,7 @@ def _batched_posterior_real(spec: ProblemSpec, hyp: GPHyperArrays,
 
 
 def _fused_sample_empty(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
-                        Xt, eps):
+                        Xt, eps, md=None):
     """Empty-hall GP stage via the fused Pallas kernel (ops/pallas_gp.py).
 
     XLA evaluates the kernel blocks (a handful of well-fused elementwise
@@ -205,13 +205,15 @@ def _fused_sample_empty(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
         dg_j = pallas_gp.sample_empty_one(
             Kxm, Ktt, eps[:, j].reshape(spec.ns, H * Ty),
             gp.real_fact["Linv"][j], gp.real_fact["alpha"][j],
-            jnp.tile(pv, H), j0, hyp.beta, hyp.variance_is_zero, 1e-5)
+            jnp.tile(pv, H), j0, hyp.beta, hyp.variance_is_zero, 1e-5,
+            ty=Ty, close=None if md is None else md[0][:, j],
+            ynear=None if md is None else md[1][:, j])
         dgs.append(dg_j.reshape(spec.ns, H, Ty))
     return jnp.stack(dgs, axis=1)                       # (ns, g_ny, H, Ty)
 
 
 def _fused_sample_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
-                       Xt, eps):
+                       Xt, eps, md=None):
     """Hall-block GP stage via the fused Pallas kernel (iterations >= 1).
 
     XLA evaluates the kernel-matrix blocks and masks (a few large fused
@@ -260,7 +262,9 @@ def _fused_sample_hall(spec: ProblemSpec, hyp: GPHyperArrays, gp: GPState,
             gp.hall_n * Ty, Kxr, Kxh, Ktt, Arh, Ahh, yh,
             eps[:, j].reshape(spec.ns, H * Ty),
             gp.real_fact["Linv"][j], gp.real_fact["w"][j],
-            jnp.tile(pv, H), j0, hyp.beta, hyp.variance_is_zero, 1e-5)
+            jnp.tile(pv, H), j0, hyp.beta, hyp.variance_is_zero, 1e-5,
+            ty=Ty, close=None if md is None else md[0][:, j],
+            ynear=None if md is None else md[1][:, j])
         dgs.append(dg_j.reshape(spec.ns, H, Ty))
     return jnp.stack(dgs, axis=1)                       # (ns, g_ny, H, Ty)
 
@@ -321,14 +325,31 @@ def sample_dynamics(spec: ProblemSpec, env: Env, hyp: GPHyperArrays,
                           spec, hyp, Xt.dtype, spec.ns, H * Ty,
                           gp.real_fact["mask"].shape[-1],
                           gp.hall_Z.shape[2] * Ty))
-    if use_fused:
+    if use_fused or use_fused_hall:
         # fused TPU path: no (mean, cov) materialization — the gate
-        # excludes every consumer of them (mean_as_dyn_sample, min-dist)
-        dg = _fused_sample_empty(spec, hyp, gp, Xt, eps)
+        # excludes its only remaining consumer (mean_as_dyn_sample).
+        # The min-dist override's mask + nearest-train-row replacement
+        # are precomputed here from the SAME distance matrix the dedup
+        # filter uses and applied inside the kernel
+        md = None
+        if need_train_set:
+            row_invalid = jnp.any(jnp.isnan(Y), axis=-1)   # (ns,g_ny,M)
+            dmask = jnp.where(row_invalid[:, :, None, :], jnp.inf, dist)
+            clo = jnp.any(dmask <= hyp.min_data_dist, axis=-1)
+            nearest = jnp.argmin(dmask, axis=-1)           # (ns,g_ny,H)
+            ynear = jnp.take_along_axis(
+                Y, nearest[..., None], axis=2)             # (ns,g_ny,H,Ty)
+            sh = (spec.ns, spec.g_ny, H * Ty)
+            md = (jnp.broadcast_to(clo[..., None],
+                                   clo.shape + (Ty,)).reshape(sh)
+                  .astype(Xt.dtype),
+                  ynear.reshape(sh))
+    if use_fused:
+        dg = _fused_sample_empty(spec, hyp, gp, Xt, eps, md=md)
     elif use_fused_hall:
         # fused TPU path for SQP iterations >= 1 (hall block conditioned)
         use_fused = True
-        dg = _fused_sample_hall(spec, hyp, gp, Xt, eps)
+        dg = _fused_sample_hall(spec, hyp, gp, Xt, eps, md=md)
     elif hall_empty:
         # SQP iteration 0: buffer reset at solve entry — skip the whole
         # hall-block machinery (statically; see sqp.solve's peeled step)

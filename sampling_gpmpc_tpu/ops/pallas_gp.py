@@ -71,7 +71,7 @@ def _kernel_vmem(ns: int, Ht: int, R: int) -> int:
     Htl = rnd(Ht, 128)
     return 4 * (ns * rnd(Ht, 8) * (2 * Rp + 2 * Htl)   # Kx, Ktt, cov, chol
                 + rnd(R, 8) * Rp                        # Linv
-                + 8 * ns * Htl)                         # row quantities
+                + 10 * ns * Htl)                        # row quantities
 
 
 def _ns_chunk(ns: int, Ht: int, R: int) -> int:
@@ -91,13 +91,10 @@ def fused_ok(spec, hyp, dtype, ns: int, Ht: int, R: int) -> bool:
         return False
     if dtype != jnp.float32:
         return False
-    # the min-dist override needs the train targets + distance matrix;
-    # mean-as-sample needs the posterior mean returned — both stay XLA
-    if hyp.min_data_dist >= 0.0 or spec.mean_as_dyn_sample:
-        return False
-    # the zero-variance override reduces over the TASK axis of each test
-    # point; the in-kernel elementwise form only matches it when Ty == 1
-    if hyp.variance_is_zero >= 0.0 and spec.Ty > 1:
+    # mean-as-sample needs the posterior mean returned — stays XLA
+    # (min-dist and the Ty>1 zero-variance override run IN-kernel from
+    # XLA-precomputed close/ynear rows and a lane-group reduction)
+    if spec.mean_as_dyn_sample:
         return False
     if ns < 1 or Ht < 2 or R < 1:
         return False
@@ -108,9 +105,50 @@ def fused_ok(spec, hyp, dtype, ns: int, Ht: int, R: int) -> bool:
     return _device_platform() in ("tpu", "axon")
 
 
-def _kernel(Kx, Ktt, eps, Linv, alpha, pv, mean_o, dg_o, cov3, var_r,
-            *, ns: int, Ht: int, jitter: float, beta: float,
-            var_zero: float, rel_floor: float):
+
+def _override_tail(mean_o, dg_o, var_r, pv, close, ynear,
+                   *, ty: int, beta: float, var_zero: float,
+                   rel_floor: float, use_min_dist: bool):
+    """Shared post-draw override pipeline of both fused kernels.
+
+    Mirrors exact.sample_with_overrides order exactly: relative variance
+    floor -> zero-variance(point)->mean -> min-dist->nearest-train-row ->
+    beta-clip -> non-finite->mean.  The Ty>1 zero-variance override
+    reduces over each test POINT's ty contiguous lanes via one dot with
+    the block-diagonal group matrix (a lane-group AND as a count).
+    ``close``/``ynear`` are (ns, Ht) rows precomputed by XLA from the
+    train-distance matrix (shared with the hallucination dedup filter).
+    """
+    f32 = jnp.float32
+    mu = mean_o[...]
+    y = mu + dg_o[...]
+    var = jnp.maximum(var_r[...], 0.0)
+    if rel_floor > 0.0:
+        var = jnp.where(var < rel_floor * pv[...], 0.0, var)
+    if var_zero >= 0.0:
+        if ty <= 1:
+            y = jnp.where(var <= var_zero, mu, y)
+        else:
+            Ht = y.shape[-1]
+            ra = jax.lax.broadcasted_iota(jnp.int32, (Ht, Ht), 0)
+            ca = jax.lax.broadcasted_iota(jnp.int32, (Ht, Ht), 1)
+            Gm = jnp.where(ra // ty == ca // ty, 1.0, 0.0).astype(f32)
+            z = (var <= var_zero).astype(f32)
+            cnt = jax.lax.dot_general(
+                z, Gm, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=_HIGH)
+            y = jnp.where(cnt >= ty - 0.5, mu, y)
+    if use_min_dist:
+        y = jnp.where(close[...] > 0.0, ynear[...], y)
+    std = jnp.sqrt(var)
+    y = jnp.clip(y, mu - beta * std, mu + beta * std)
+    dg_o[...] = jnp.where(jnp.isfinite(y), y, mu)
+
+
+def _kernel(Kx, Ktt, eps, Linv, alpha, pv, close, ynear,
+            mean_o, dg_o, cov3, var_r,
+            *, ns: int, Ht: int, ty: int, jitter: float, beta: float,
+            var_zero: float, rel_floor: float, use_min_dist: bool):
     """One GP output's whole sample stage; see module docstring.
 
     Refs: Kx (ns*Ht, R) masked cross-covariance rows; Ktt (ns*Ht, Ht)
@@ -183,25 +221,16 @@ def _kernel(Kx, Ktt, eps, Linv, alpha, pv, mean_o, dg_o, cov3, var_r,
     jax.lax.fori_loop(0, ns, draw_body, 0, unroll=NS_UNROLL)
 
     # ---- override tail (whole-batch VPU ops) ----------------------------
-    mu = mean_o[...]
-    y = mu + dg_o[...]
-    var = jnp.maximum(var_r[...], 0.0)
-    if rel_floor > 0.0:
-        var = jnp.where(var < rel_floor * pv[...], 0.0, var)
-    if var_zero >= 0.0:
-        # all tasks of a test POINT below threshold -> mean; rows of one
-        # point are contiguous lanes, but the twin reduces over the task
-        # axis only — the caller passes var_zero < 0 unless Ty == 1
-        y = jnp.where(var <= var_zero, mu, y)
-    std = jnp.sqrt(var)
-    y = jnp.clip(y, mu - beta * std, mu + beta * std)
-    dg_o[...] = jnp.where(jnp.isfinite(y), y, mu)
+    _override_tail(mean_o, dg_o, var_r, pv, close, ynear, ty=ty,
+                   beta=beta, var_zero=var_zero, rel_floor=rel_floor,
+                   use_min_dist=use_min_dist)
 
 
 def _hall_kernel(nh_ref, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r, pv,
-                 mean_o, dg_o, S3, W3, cov3, var_r,
-                 *, ns: int, Ht: int, Rr: int, Rh: int, jitter: float,
-                 beta: float, var_zero: float, rel_floor: float):
+                 close, ynear, mean_o, dg_o, S3, W3, cov3, var_r,
+                 *, ns: int, Ht: int, Rr: int, Rh: int, ty: int,
+                 jitter: float, beta: float, var_zero: float,
+                 rel_floor: float, use_min_dist: bool):
     """One GP output's whole HALL-BLOCK sample stage (SQP iterations >= 1).
 
     Fused equivalent of condition_update + predict_update +
@@ -359,17 +388,10 @@ def _hall_kernel(nh_ref, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r, pv,
 
     jax.lax.fori_loop(0, ns, draw_body, 0, unroll=NS_UNROLL)
 
-    # ---- override tail (identical to _kernel) ---------------------------
-    mu = mean_o[...]
-    y = mu + dg_o[...]
-    var = jnp.maximum(var_r[...], 0.0)
-    if rel_floor > 0.0:
-        var = jnp.where(var < rel_floor * pv[...], 0.0, var)
-    if var_zero >= 0.0:
-        y = jnp.where(var <= var_zero, mu, y)
-    std = jnp.sqrt(var)
-    y = jnp.clip(y, mu - beta * std, mu + beta * std)
-    dg_o[...] = jnp.where(jnp.isfinite(y), y, mu)
+    # ---- override tail (shared with _kernel) ----------------------------
+    _override_tail(mean_o, dg_o, var_r, pv, close, ynear, ty=ty,
+                   beta=beta, var_zero=var_zero, rel_floor=rel_floor,
+                   use_min_dist=use_min_dist)
 
 
 def _hall_kernel_vmem(ns: int, Ht: int, Rr: int, Rh: int) -> int:
@@ -381,7 +403,7 @@ def _hall_kernel_vmem(ns: int, Ht: int, Rr: int, Rh: int) -> int:
                 + ns * rnd(Ht + 1, 8) * Rhp              # W3
                 + ns * rnd(Ht, 8) * Htl                  # cov3
                 + rnd(Rr, 8) * Rrp                       # Linv
-                + 8 * ns * Htl)                          # row quantities
+                + 10 * ns * Htl)                         # row quantities
 
 
 def _hall_ns_chunk(ns: int, Ht: int, Rr: int, Rh: int) -> int:
@@ -400,9 +422,7 @@ def fused_hall_ok(spec, hyp, dtype, ns: int, Ht: int, Rr: int,
         return False
     if dtype != jnp.float32:
         return False
-    if hyp.min_data_dist >= 0.0 or spec.mean_as_dyn_sample:
-        return False
-    if hyp.variance_is_zero >= 0.0 and spec.Ty > 1:
+    if spec.mean_as_dyn_sample:
         return False
     if ns < 1 or Ht < 2 or Rr < 1 or Rh < 1:
         return False
@@ -415,7 +435,8 @@ def fused_hall_ok(spec, hyp, dtype, ns: int, Ht: int, Rr: int,
 
 def sample_hall_one(nh_rows, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r,
                     prior_var, jitter: float, beta: float,
-                    var_zero: float, rel_floor: float):
+                    var_zero: float, rel_floor: float, ty: int = 1,
+                    close=None, ynear=None):
     """Run the fused HALL-BLOCK stage for ONE GP output.
 
     Args:
@@ -438,6 +459,10 @@ def sample_hall_one(nh_rows, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r,
     f32 = jnp.float32
     ns, Ht, Rr = Kxr.shape
     Rh = Kxh.shape[-1]
+    use_md = close is not None
+    if not use_md:
+        close = jnp.zeros((ns, Ht), f32)
+        ynear = jnp.zeros((ns, Ht), f32)
     chunk = _hall_ns_chunk(ns, Ht, Rr, Rh)
     if chunk and chunk < ns:
         outs = [sample_hall_one(nh_rows, Kxr[s:s + chunk],
@@ -446,17 +471,20 @@ def sample_hall_one(nh_rows, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r,
                                 Ahh[s:s + chunk], yh[s:s + chunk],
                                 eps[s:s + chunk], Linv, w_r,
                                 prior_var, jitter, beta, var_zero,
-                                rel_floor)
+                                rel_floor, ty=ty,
+                                close=close[s:s + chunk],
+                                ynear=ynear[s:s + chunk])
                 for s in range(0, ns, chunk)]
         return jnp.concatenate(outs, axis=0)
     kern = functools.partial(_hall_kernel, ns=ns, Ht=Ht, Rr=Rr, Rh=Rh,
-                             jitter=float(jitter), beta=float(beta),
-                             var_zero=float(var_zero),
-                             rel_floor=float(rel_floor))
+                             ty=int(ty), jitter=float(jitter),
+                             beta=float(beta), var_zero=float(var_zero),
+                             rel_floor=float(rel_floor),
+                             use_min_dist=use_md)
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     mean, dg = pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec()] * 10,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec()] * 12,
         out_specs=[vspec()] * 2,
         out_shape=[jax.ShapeDtypeStruct((ns, Ht), f32),
                    jax.ShapeDtypeStruct((ns, Ht), f32)],
@@ -474,13 +502,15 @@ def sample_hall_one(nh_rows, Kxr, Kxh, Ktt, Arh, Ahh, yh, eps, Linv, w_r,
       Ahh.reshape(ns * Rh, Rh).astype(f32),
       yh.astype(f32), eps.astype(f32), Linv.astype(f32),
       w_r.reshape(1, Rr).astype(f32),
-      jnp.broadcast_to(prior_var.astype(f32)[None], (1, Ht)))
+      jnp.broadcast_to(prior_var.astype(f32)[None], (1, Ht)),
+      close.astype(f32), ynear.astype(f32))
     return dg
 
 
 def sample_empty_one(Kxm, Ktt, eps, Linv, alpha, prior_var,
                      jitter: float, beta: float, var_zero: float,
-                     rel_floor: float):
+                     rel_floor: float, ty: int = 1,
+                     close=None, ynear=None):
     """Run the fused stage for ONE GP output.
 
     Args:
@@ -490,27 +520,38 @@ def sample_empty_one(Kxm, Ktt, eps, Linv, alpha, prior_var,
         Linv: (R, R) inverse Cholesky factor of the masked train matrix.
         alpha: (R,) K~^-1 y~.
         prior_var: (Ht,) prior variance of each test row's task.
+        ty: tasks per test point (for the Ty>1 zero-variance override).
+        close/ynear: optional (ns, Ht) min-dist override rows (mask > 0
+            selects the nearest-train-row replacement in ``ynear``).
     Returns:
         (ns, Ht) sampled rows.
     """
     f32 = jnp.float32
     ns, Ht, R = Kxm.shape
+    use_md = close is not None
+    if not use_md:
+        close = jnp.zeros((ns, Ht), f32)
+        ynear = jnp.zeros((ns, Ht), f32)
     chunk = _ns_chunk(ns, Ht, R)
     if chunk and chunk < ns:
         # sample chunks as separate kernel invocations (VMEM-bounded);
         # samples are independent, so this is pure batching
         outs = [sample_empty_one(Kxm[s:s + chunk], Ktt[s:s + chunk],
                                  eps[s:s + chunk], Linv, alpha, prior_var,
-                                 jitter, beta, var_zero, rel_floor)
+                                 jitter, beta, var_zero, rel_floor,
+                                 ty=ty, close=close[s:s + chunk],
+                                 ynear=ynear[s:s + chunk])
                 for s in range(0, ns, chunk)]
         return jnp.concatenate(outs, axis=0)
-    kern = functools.partial(_kernel, ns=ns, Ht=Ht, jitter=float(jitter),
+    kern = functools.partial(_kernel, ns=ns, Ht=Ht, ty=int(ty),
+                             jitter=float(jitter),
                              beta=float(beta), var_zero=float(var_zero),
-                             rel_floor=float(rel_floor))
+                             rel_floor=float(rel_floor),
+                             use_min_dist=use_md)
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     mean, dg = pl.pallas_call(
         kern,
-        in_specs=[vspec()] * 6,
+        in_specs=[vspec()] * 8,
         out_specs=[vspec()] * 2,
         out_shape=[jax.ShapeDtypeStruct((ns, Ht), f32),
                    jax.ShapeDtypeStruct((ns, Ht), f32)],
@@ -522,5 +563,6 @@ def sample_empty_one(Kxm, Ktt, eps, Linv, alpha, prior_var,
       Ktt.reshape(ns * Ht, Ht).astype(f32),
       eps.astype(f32), Linv.astype(f32),
       alpha.reshape(1, R).astype(f32),
-      jnp.broadcast_to(prior_var.astype(f32)[None], (1, Ht)))
+      jnp.broadcast_to(prior_var.astype(f32)[None], (1, Ht)),
+      close.astype(f32), ynear.astype(f32))
     return dg

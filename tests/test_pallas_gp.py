@@ -149,9 +149,48 @@ def test_fused_gate_excludes_unsupported(problem):
     hyp = GPHyperArrays.from_spec(spec.gp, jnp.float32)
     # f64 -> XLA path
     assert not pallas_gp.fused_ok(spec, hyp, jnp.float64, 8, 36, 108)
-    # min-dist override -> XLA path
+    # min-dist override is now IN-kernel (close/ynear inputs) -> fused ok
     hyp_md = dataclasses.replace(hyp, min_data_dist=0.1)
-    assert not pallas_gp.fused_ok(spec, hyp_md, jnp.float32, 8, 36, 108)
+    assert pallas_gp.fused_ok(spec, hyp_md, jnp.float32, 8, 36, 108) \
+        == (pallas_gp._INTERPRET
+            or pallas_gp._device_platform() in ("tpu", "axon"))
     # mean-as-sample -> XLA path
     spec_m = dataclasses.replace(spec, mean_as_dyn_sample=True)
     assert not pallas_gp.fused_ok(spec_m, hyp, jnp.float32, 8, 36, 108)
+
+
+def test_fused_min_dist_and_var_zero_match_xla(problem, monkeypatch):
+    """The pendulum-config overrides (min_data_dist >= 0 AND the Ty>1
+    zero-variance point override, ref params_pendulum.yaml:43-44) through
+    the fused kernels vs the XLA twin, empty-hall AND hall-block."""
+    params, spec, env = problem
+    hyp, gp, Xt, eps = _setup(spec, env)
+    # activate both overrides; min_data_dist large enough that several
+    # test points sit within range of the 6x6 training grid
+    hyp = dataclasses.replace(hyp, min_data_dist=0.15,
+                              variance_is_zero=1.1e-6)
+    spec = dataclasses.replace(
+        spec, gp=dataclasses.replace(spec.gp, min_data_dist=0.15,
+                                     variance_is_zero=1.1e-6))
+
+    monkeypatch.setenv("SGPMPC_NO_FUSED_GP", "1")
+    dg_ref, gp_r = agent_mod.sample_dynamics(
+        spec, env, hyp, gp, Xt, eps, hall_empty=True)
+    dg_ref1, _ = agent_mod.sample_dynamics(
+        spec, env, hyp, gp_r, Xt + 0.03, eps, hall_empty=False)
+
+    monkeypatch.delenv("SGPMPC_NO_FUSED_GP")
+    monkeypatch.setattr(pallas_gp, "_INTERPRET", True)
+    dg_fused, gp_f = agent_mod.sample_dynamics(
+        spec, env, hyp, gp, Xt, eps, hall_empty=True)
+    dg_fused1, _ = agent_mod.sample_dynamics(
+        spec, env, hyp, gp_f, Xt + 0.03, eps, hall_empty=False)
+
+    for a, b in ((dg_fused, dg_ref), (dg_fused1, dg_ref1)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        scale = float(np.max(np.abs(b)) + 1e-9)
+        np.testing.assert_allclose(a, b, atol=5e-3 * scale + 5e-5)
+    # the dedup filter must also have NaN-masked identically
+    np.testing.assert_array_equal(np.isnan(np.asarray(gp_f.hall_Y)),
+                                  np.isnan(np.asarray(gp_r.hall_Y)))
