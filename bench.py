@@ -77,7 +77,7 @@ if __name__ == "__main__" and os.environ.get("SGPMPC_BENCH_WORKER") != "1":
               file=sys.stderr, flush=True)
     else:
         line = _run_worker({}, float(os.environ.get("SGPMPC_BENCH_TIMEOUT",
-                                                    "1800")))
+                                                    "2700")))
     if line is None:
         print("# accelerator bench hung or failed; host-CPU fallback",
               file=sys.stderr, flush=True)
@@ -585,16 +585,23 @@ def setup_fs_rollout(device, dtype, ns=4000, steps=50):
     return fn, gp0, (params, spec, data), ns * steps
 
 
-def time_fs(fn, gp0, n_warmup=1, n_iter=2):
+def time_fs(fn, gp0, n_warmup=1, n_iter=3):
+    """Fastest single rollout of n_iter (each one dispatch, blocked):
+    the relay stream can stall mid-run for seconds (measured: a 4x
+    fs collapse in one bench run of an otherwise-stable triple), and
+    the minimum needs only ONE clean rollout.  Per-rollout blocking
+    charges one ~26 ms dispatch to a ~1.3 s computation (~2%)."""
     for r in range(n_warmup):
         X = fn(gp0, jax.random.PRNGKey(r))
         X.block_until_ready()
-    t0 = time.perf_counter()
+    best = float("inf")
     for r in range(n_iter):
+        t0 = time.perf_counter()
         X = fn(gp0, jax.random.PRNGKey(100 + r))
-    X.block_until_ready()
+        X.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
     nan_frac = float(jnp.isnan(X).mean())
-    return (time.perf_counter() - t0) / n_iter, nan_frac
+    return best, nan_frac
 
 
 def torch_fs_baseline_steps_per_s(psd, ns=200, steps=30):
@@ -616,8 +623,20 @@ def torch_fs_baseline_steps_per_s(psd, ns=200, steps=30):
     spec = dc.replace(spec, ns=ns)
     import numpy as np
     U = np.zeros((steps, spec.nu))
-    out = torch_fs_baseline.run(params, spec, data, ns, steps, U, seed=0)
-    return out["steps_per_s"]
+    # Stability (the three-runs-within-20% bar): a single in-process
+    # torch measurement moved ~35 % across idle-box bench runs, and
+    # best-of-3 still moved ~30 % — the variance tracks the thread
+    # count torch inherits from whatever XLA-CPU work ran earlier in
+    # the process.  Pin the thread count, then take the fastest of 5
+    # repeats (conservative for the speedup).
+    import torch
+    torch.set_num_threads(min(8, os.cpu_count() or 8))
+    best = 0.0
+    for r in range(5):
+        out = torch_fs_baseline.run(params, spec, data, ns, steps, U,
+                                    seed=0)
+        best = max(best, out["steps_per_s"])
+    return best
 
 
 def main():
@@ -735,9 +754,12 @@ def main():
             if not contended:
                 runcc, ccc, ecc = setup_closed_loop_scan(
                     specc, datac, envc, jax.devices("cpu")[0], dtype)
+                # short windows: the car CPU step is ~0.4 s, so the
+                # 20/40 windows alone cost ~4 min; 10/20 keeps the
+                # measurement above timer noise (2 s delta) at 1/4 cost
                 dtcc, _ = time_closed_loop_slope(
-                    runcc, ccc, ecc, n_warmup, n_small=20, n_large=40,
-                    reps=2, pick_min=True)
+                    runcc, ccc, ecc, n_warmup, n_small=10, n_large=20,
+                    reps=2, max_tries=2, pick_min=True)
                 car["vs"] = dtcc / dtc
         except SlopeUnstableError as e:
             notes.append(f"car slope unmeasurable ({e}); row 0.0")
