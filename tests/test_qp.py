@@ -307,17 +307,26 @@ def test_native_qp_matches_jax(seed):
 
 
 def test_native_qp_on_saved_instance():
-    """The C++ solver handles the hard long-horizon car instance."""
+    """The C++ solver handles the hard long-horizon car instance.
+
+    The instance is COMMITTED (tests/goldens/qp_car_h100.npz: the first
+    SQP subproblem of params_car_samples, ns=10, H=100 — nU=200, 400
+    hard rows, 5010 soft rows with the 1e7 acados penalties, condensed
+    row magnitudes spanning the full Gamma-growth range), replacing a
+    dev-machine-only /tmp artifact that made this test permanently
+    skip.  Also cross-checks the native solution against the stored
+    jitted-PDIP solution of the identical instance."""
     import os
     from sampling_gpmpc_tpu.native import solve_qp_soft_native
-    path = "/tmp/qp_k2.npz"
-    if not os.path.exists(path):
-        pytest.skip("saved instance not present")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "qp_car_h100.npz")
     d = np.load(path)
     u, gap, iters, status = solve_qp_soft_native(
         d["H"], d["g"], d["Gh"], d["dh"], d["Gs"], d["lo"], d["hi"],
         d["zl"], d["zu"], d["Zl"], d["Zu"])
     assert status == 0, (gap, iters)
+    scale = max(1.0, float(np.abs(d["u_ref"]).max()))
+    np.testing.assert_allclose(u, d["u_ref"], atol=1e-5 * scale)
 
 
 def test_parallel_condense_matches_sequential():
